@@ -1,0 +1,100 @@
+"""Golden test: vectorized Whitted renderer vs the scalar NumPy oracle.
+
+Covers BASELINE configs #1/#2: sphere+plane Whitted and a multi-sphere scene
+with reflection + refraction, brute-force intersection.
+"""
+import numpy as np
+import pytest
+
+import u_4a_2s_p3d_raytracer_template2_tpu as rt
+from conftest import assert_images_close
+from oracle import Oracle
+
+
+def sphere_plane_scene(res=24):
+    sd = rt.SceneDef()
+    sd.set_camera(eye=[0, 1, 5], at=[0, 0, 0], up=[0, 1, 0], fov=45,
+                  hither=0.01, res_x=res, res_y=res, aperture_ratio=0,
+                  focal_ratio=1)
+    m0 = sd.add_material([0.8, 0.2, 0.2], 0.9, [1, 1, 1], 0.1, 30, 0, 1)
+    sd.add_sphere([0, 0, 0], 1.0, m0)
+    m1 = sd.add_material([0.4, 0.4, 0.9], 1.0, [1, 1, 1], 0.0, 10, 0, 1)
+    sd.add_plane_points([0, -1, 0], [1, -1, 0], [0, -1, -1], m1)
+    sd.add_light([5, 5, 5], [1, 1, 1])
+    sd.add_light([-4, 6, 2], [0.4, 0.4, 0.6])
+    sd.bg_color = np.array([0.1, 0.2, 0.3], np.float32)
+    return sd
+
+
+def mixed_scene(res=24):
+    """Spheres with reflection and refraction, a triangle, a box."""
+    sd = rt.SceneDef()
+    sd.set_camera(eye=[0.5, 1.5, 6], at=[0, 0.3, 0], up=[0, 1, 0], fov=40,
+                  hither=0.01, res_x=res, res_y=res, aperture_ratio=0,
+                  focal_ratio=1)
+    diffuse = sd.add_material([0.7, 0.7, 0.2], 1.0, [1, 1, 1], 0.0, 10, 0, 1)
+    mirror = sd.add_material([0.1, 0.1, 0.1], 0.2, [0.9, 0.9, 0.9], 0.8, 200, 0, 1)
+    glass = sd.add_material([0.0, 0.0, 0.0], 0.0, [1, 1, 1], 0.1, 100, 1, 1.5)
+    sd.add_plane_points([0, -0.5, 0], [1, -0.5, 0], [0, -0.5, -1], diffuse)
+    sd.add_sphere([-1.2, 0.3, 0], 0.8, mirror)
+    sd.add_sphere([1.0, 0.2, 1.0], 0.7, glass)
+    sd.add_triangle([-0.5, -0.4, 2.0], [0.5, -0.4, 2.0], [0, 0.7, 1.8], diffuse)
+    sd.add_box([-0.4, -0.5, -1.5], [0.6, 0.5, -0.6], mirror)
+    sd.add_light([4, 6, 4], [1, 1, 1])
+    sd.bg_color = np.array([0.3, 0.5, 0.9], np.float32)
+    return sd
+
+
+@pytest.mark.parametrize("mode", ["schlick", "reference_exact"])
+@pytest.mark.parametrize("refr", ["reference", "physical"])
+def test_mixed_scene_matches_oracle(mode, refr):
+    sd = mixed_scene()
+    cfg = rt.RenderConfig(fresnel_mode=mode, refraction_mode=refr)
+    scene = rt.build_scene(sd)
+    img = np.asarray(rt.render_image(scene, cfg), np.float64)
+    want = Oracle(sd, cfg).render()
+    assert_images_close(img, want)
+
+
+def test_sphere_plane_matches_oracle():
+    sd = sphere_plane_scene()
+    cfg = rt.RenderConfig()
+    scene = rt.build_scene(sd)
+    img = np.asarray(rt.render_image(scene, cfg), np.float64)
+    want = Oracle(sd, cfg).render()
+    assert_images_close(img, want)
+
+
+def test_background_pixels():
+    sd = sphere_plane_scene()
+    scene = rt.build_scene(sd)
+    img = np.asarray(rt.render_image(scene, rt.RenderConfig()))
+    # top corners look at the sky
+    np.testing.assert_allclose(img[-1, 0], [0.1, 0.2, 0.3], atol=1e-5)
+    np.testing.assert_allclose(img[-1, -1], [0.1, 0.2, 0.3], atol=1e-5)
+
+
+def test_unbounded_shadow_quirk():
+    """NONE-mode shadows: occluders beyond the light still shadow when the
+    reference quirk is enabled (SURVEY.md quirk #6)."""
+    sd = rt.SceneDef()
+    sd.set_camera(eye=[0, 0, 5], at=[0, 0, 0], up=[0, 1, 0], fov=20,
+                  hither=0.01, res_x=16, res_y=16, aperture_ratio=0,
+                  focal_ratio=1)
+    m = sd.add_material([1, 1, 1], 1.0, [1, 1, 1], 0.0, 10, 0, 1)
+    # small floor triangle at z=0, light just above it, and a huge occluder
+    # sphere far beyond the light that every extended shadow ray would hit
+    sd.add_triangle([-0.5, -0.5, 0], [0.5, -0.5, 0], [0, 0.5, 0], m)
+    sd.add_light([0, 0, 1], [1, 1, 1])
+    sd.add_sphere([0, 0, 100], 60.0, m)
+    sd.bg_color = np.array([0, 0, 0], np.float32)
+
+    scene = rt.build_scene(sd)
+    bounded = np.asarray(rt.render_image(scene, rt.RenderConfig()))
+    unbounded = np.asarray(
+        rt.render_image(scene, rt.RenderConfig(shadow_unbounded=True)))
+    lit = bounded[..., 0] > 0.2        # physically lit floor pixels
+    assert lit.sum() >= 3
+    # reference quirk: the same pixels fall in shadow from an occluder that
+    # sits beyond the light
+    assert unbounded[lit].max() <= 1e-6

@@ -1,0 +1,145 @@
+"""SceneDef (host NumPy) → Scene pytree (device arrays, padded static shapes).
+
+This is the boundary between the host runtime (parsing, accel build) and the
+XLA-compiled compute path. Everything downstream of here is statically shaped.
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import constants as C
+from .types import (
+    BvhArrays,
+    Camera,
+    GridArrays,
+    Lights,
+    Materials,
+    Primitives,
+    Rays,
+    Scene,
+)
+
+
+def _round_up(n: int, m: int) -> int:
+    return max(m, ((n + m - 1) // m) * m)
+
+
+def build_camera(cam: dict) -> Camera:
+    """Derive the uvn frame exactly like the reference ctor (camera.h:35-73)."""
+    eye = np.asarray(cam["eye"], np.float32)
+    at = np.asarray(cam["at"], np.float32)
+    up = np.asarray(cam["up"], np.float32)
+    n = eye - at
+    plane_dist = float(np.linalg.norm(n))
+    n = n / plane_dist
+    u = np.cross(up, n)
+    u = u / np.linalg.norm(u)
+    v = np.cross(n, u)
+    h = 2.0 * plane_dist * math.tan(math.pi * cam["fov"] / 180.0 / 2.0)
+    w = (cam["res_x"] / cam["res_y"]) * h
+    # Lens aperture = aperture_ratio * pixel size (camera.h:66)
+    aperture = cam["aperture_ratio"] * (w / cam["res_x"])
+    f32 = lambda x: jnp.asarray(x, jnp.float32)
+    return Camera(
+        eye=f32(eye), u=f32(u), v=f32(v), n=f32(n),
+        w=f32(w), h=f32(h), plane_dist=f32(plane_dist),
+        focal_ratio=f32(cam["focal_ratio"]), aperture=f32(aperture),
+        time0=f32(0.0), time1=f32(0.0),
+        res_x=int(cam["res_x"]), res_y=int(cam["res_y"]),
+    )
+
+
+def build_scene(
+    sd,
+    *,
+    accel: Optional[int] = None,
+    pad_to: int = 8,
+    load_skybox: bool = True,
+) -> Scene:
+    """Pad and upload a SceneDef; build the requested accelerator host-side."""
+    n_obj = len(sd.objects)
+    n_pad = _round_up(n_obj, pad_to)
+
+    params = np.zeros((n_pad, 12), np.float32)
+    ptype = np.full(n_pad, C.INVALID, np.int32)
+    mat_id = np.zeros(n_pad, np.int32)
+    for i, o in enumerate(sd.objects):
+        params[i] = o.params
+        ptype[i] = o.ptype
+        mat_id[i] = max(o.mat_id, 0)
+
+    n_mat = max(1, len(sd.materials))
+    mats = np.zeros((n_mat, 11), np.float32)
+    for i, m in enumerate(sd.materials):
+        mats[i] = m
+    materials = Materials(
+        diff_color=jnp.asarray(mats[:, 0:3]),
+        kd=jnp.asarray(mats[:, 3]),
+        spec_color=jnp.asarray(mats[:, 4:7]),
+        ks=jnp.asarray(mats[:, 7]),
+        shine=jnp.asarray(mats[:, 8]),
+        transmit=jnp.asarray(mats[:, 9]),
+        ior=jnp.asarray(mats[:, 10]),
+    )
+
+    n_l = max(1, len(sd.lights))
+    lt = np.zeros((n_l, 6), np.float32)
+    for i, l in enumerate(sd.lights):
+        lt[i] = l
+    lights = Lights(position=jnp.asarray(lt[:, 0:3]), color=jnp.asarray(lt[:, 3:6]))
+
+    if sd.camera is None:
+        raise ValueError("scene has no camera ('v' block)")
+    camera = build_camera(sd.camera)
+
+    accel_type = sd.accel_type if accel is None else accel
+
+    bvh = grid = None
+    if accel_type == C.ACCEL_BVH and n_obj > 0:
+        from ..accel.bvh import build_bvh
+
+        bvh = build_bvh(params[:n_obj], ptype[:n_obj])
+    elif accel_type == C.ACCEL_GRID and n_obj > 0:
+        from ..accel.grid import build_grid
+
+        grid = build_grid(params[:n_obj], ptype[:n_obj])
+
+    skybox = jnp.zeros((6, 1, 1, 3), jnp.float32)
+    has_skybox = False
+    if sd.skybox_dir is not None and load_skybox:
+        from ..io.skybox import load_skybox_dir
+
+        faces = load_skybox_dir(sd.skybox_dir)
+        if faces is not None:
+            skybox = jnp.asarray(faces)
+            has_skybox = True
+
+    return Scene(
+        prims=Primitives(
+            params=jnp.asarray(params),
+            ptype=jnp.asarray(ptype),
+            mat_id=jnp.asarray(mat_id),
+        ),
+        materials=materials,
+        lights=lights,
+        camera=camera,
+        bg_color=jnp.asarray(sd.bg_color, jnp.float32),
+        skybox=skybox,
+        bvh=bvh,
+        grid=grid,
+        accel_type=int(accel_type),
+        spp=int(sd.spp),
+        has_skybox=has_skybox,
+        n_objects=n_obj,
+        n_lights=len(sd.lights),
+    )
+
+
+def load_scene(path: str, **kw) -> Scene:
+    from ..io.p3f import parse_p3f
+
+    return build_scene(parse_p3f(path), **kw)

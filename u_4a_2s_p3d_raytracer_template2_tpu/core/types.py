@@ -1,0 +1,259 @@
+"""Core pytree types: SoA scene arrays, rays, camera, render config.
+
+The reference stores its scene as a vector of polymorphic ``Object*``
+(reference: scene.h:67-145, scene.cpp:285-331). The TPU-native design replaces
+pointer-chasing AoS with a single unified SoA primitive table — one ``[N, 12]``
+parameter block plus type/material id vectors — so every intersection test is a
+dense vectorized op over padded, statically-shaped buffers.
+
+Parameter block layout by type (``ptype``):
+  PLANE    : pn(3), d(1)                      — scene.cpp:90-147
+  TRIANGLE : v0(3), e1(3), e2(3), normal(3)   — scene.cpp:10-88
+  SPHERE   : center(3), radius(1)             — scene.cpp:149-186
+  AABOX    : min(3), max(3)                   — scene.cpp:188-283
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import constants as C
+
+# ---------------------------------------------------------------------------
+# pytree registration helper
+
+
+def pytree(cls=None, *, meta: tuple[str, ...] = ()):
+    """Register a dataclass as a JAX pytree with the given static meta fields."""
+    if cls is None:
+        return partial(pytree, meta=meta)
+    cls = dataclasses.dataclass(frozen=True)(cls)
+    fields = [f.name for f in dataclasses.fields(cls)]
+    data_fields = [f for f in fields if f not in meta]
+    jax.tree_util.register_dataclass(
+        cls, data_fields=data_fields, meta_fields=list(meta)
+    )
+    return cls
+
+
+# ---------------------------------------------------------------------------
+# Scene SoA
+
+
+@pytree
+class Materials:
+    """SoA material table (reference: scene.h:23-55).
+
+    ``reflection`` coefficient equals ``ks`` by construction (scene.h:31).
+    """
+
+    diff_color: jnp.ndarray  # [M, 3]
+    kd: jnp.ndarray          # [M]
+    spec_color: jnp.ndarray  # [M, 3]
+    ks: jnp.ndarray          # [M]
+    shine: jnp.ndarray       # [M]
+    transmit: jnp.ndarray    # [M]  (T)
+    ior: jnp.ndarray         # [M]
+
+
+@pytree
+class Lights:
+    """Point lights (reference: scene.h:57-65)."""
+
+    position: jnp.ndarray  # [L, 3]
+    color: jnp.ndarray     # [L, 3]
+
+
+@pytree
+class Primitives:
+    """Unified SoA primitive table, padded to a static size.
+
+    Padding entries have ``ptype == INVALID`` and never intersect.
+    """
+
+    params: jnp.ndarray  # [N, 12] f32
+    ptype: jnp.ndarray   # [N] i32
+    mat_id: jnp.ndarray  # [N] i32
+
+
+@pytree(meta=("res_x", "res_y"))
+class Camera:
+    """uvn camera frame with thin-lens + shutter support (reference: camera.h:12-128).
+
+    All geometric fields are traced arrays so camera parameters are
+    differentiable end-to-end.
+    """
+
+    eye: jnp.ndarray          # [3]
+    u: jnp.ndarray            # [3]
+    v: jnp.ndarray            # [3]
+    n: jnp.ndarray            # [3]
+    w: jnp.ndarray            # [] view-plane width
+    h: jnp.ndarray            # [] view-plane height
+    plane_dist: jnp.ndarray   # []
+    focal_ratio: jnp.ndarray  # []
+    aperture: jnp.ndarray     # [] lens aperture = aperture_ratio * pixel size
+    time0: jnp.ndarray        # [] shutter open
+    time1: jnp.ndarray        # [] shutter close
+    res_x: int = 512
+    res_y: int = 512
+
+
+@pytree(meta=("n_nodes",))
+class BvhArrays:
+    """Flat linearized BVH (reference layout: rayAccelerator.h:52-69, bvh.cpp:149-153).
+
+    ``index`` points at the left child pair for internal nodes and at the first
+    object (in ``order``) for leaves; children are contiguous pairs.
+    """
+
+    bbox_min: jnp.ndarray  # [K, 3]
+    bbox_max: jnp.ndarray  # [K, 3]
+    leaf: jnp.ndarray      # [K] bool
+    index: jnp.ndarray     # [K] i32
+    n_objs: jnp.ndarray    # [K] i32
+    order: jnp.ndarray     # [N] i32  — sorted object ids (bvh.cpp:55)
+    n_nodes: int = 0
+
+
+@pytree(meta=("nx", "ny", "nz", "max_per_cell"))
+class GridArrays:
+    """Uniform grid (reference: grid.cpp:30-98) in CSR-like padded layout."""
+
+    bbox_min: jnp.ndarray    # [3]
+    bbox_max: jnp.ndarray    # [3]
+    cell_items: jnp.ndarray  # [ncells, max_per_cell] i32, -1 padded
+    cell_count: jnp.ndarray  # [ncells] i32
+    nx: int = 1
+    ny: int = 1
+    nz: int = 1
+    max_per_cell: int = 1
+
+
+@pytree(meta=("accel_type", "spp", "has_skybox", "n_objects", "n_lights"))
+class Scene:
+    """Full scene as a device pytree; replicated per chip under sharding."""
+
+    prims: Primitives
+    materials: Materials
+    lights: Lights
+    camera: Camera
+    bg_color: jnp.ndarray           # [3]
+    skybox: jnp.ndarray             # [6, H, W, 3] f32 (dummy [6,1,1,3] if absent)
+    bvh: Optional[BvhArrays]
+    grid: Optional[GridArrays]
+    accel_type: int = C.ACCEL_NONE
+    spp: int = 0
+    has_skybox: bool = False
+    n_objects: int = 0
+    n_lights: int = 0
+
+
+# ---------------------------------------------------------------------------
+# Rays
+
+
+@pytree
+class Rays:
+    """SoA ray batch (reference: ray.h:6-21; no mailbox id — stateless design)."""
+
+    origin: jnp.ndarray     # [R, 3]
+    direction: jnp.ndarray  # [R, 3]
+    time: jnp.ndarray       # [R]
+
+    @staticmethod
+    def make(origin, direction, time=None):
+        origin = jnp.asarray(origin, jnp.float32)
+        direction = jnp.asarray(direction, jnp.float32)
+        if time is None:
+            time = jnp.zeros(origin.shape[:-1], jnp.float32)
+        return Rays(origin, direction, time)
+
+
+# ---------------------------------------------------------------------------
+# Render configuration (static, hashable — safe as a jit static arg)
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Feature flags mirroring the reference's compile-time bools (main.cpp:40-48)
+    plus explicit switches for the reference's quirks (SURVEY.md §7).
+
+    Modes marked ``reference_*`` replicate shipped reference behavior including
+    its bugs; the defaults are the physically-correct variants.
+    """
+
+    max_depth: int = C.MAX_DEPTH
+    anti_aliasing: bool = False
+    soft_shadow: bool = False
+    depth_of_field: bool = False
+    fuzzy_reflection: bool = False
+    motion_blur: bool = False
+    spp: int = 0                    # grid side; samples = spp*spp (main.cpp:777-798)
+    roughness: float = 0.3          # fuzzy reflection roughness (main.cpp:653)
+
+    # Fresnel handling at transmissive hits (main.cpp:699-716):
+    #   "schlick"           — physical Schlick; KR=1 on total internal reflection
+    #   "reference_schlick" — Schlick, but KR=0 on TIR (int-division bug path)
+    #   "reference_exact"   — KR=0 always (dead exact-Fresnel branch, main.cpp:711)
+    fresnel_mode: str = "schlick"
+
+    # Refraction direction (main.cpp:671-697):
+    #   "physical"  — Snell's law transmitted direction
+    #   "reference" — the reference's tangent*sin_t + unit-normal formula
+    refraction_mode: str = "reference"
+
+    # NONE-mode shadow rays use unnormalized L and unbounded max-t
+    # (main.cpp:476-509, SURVEY.md quirk #6). False = bound by light distance.
+    shadow_unbounded: bool = False
+
+    # AA averaging: reference divides by 4*4 regardless of spp (main.cpp:800).
+    reference_aa_div16: bool = False
+
+    # Use the skybox cubemap on miss when the scene has one. The shipped
+    # reference always returns the flat bg color (main.cpp:581-584) even though
+    # GetSkyboxColor exists (scene.cpp:383-461); wiring it in is capability
+    # parity with BASELINE config #4.
+    use_skybox: bool = False
+
+    shutter: tuple[float, float] = (0.0, 1.0)  # main.cpp:47-48
+
+    def with_scene_flags(self, scene: Scene) -> "RenderConfig":
+        """Apply the reference's init-time coupling: spp>0 enables AA+DoF
+        ("Distribution Ray-Tracing", main.cpp:939-946)."""
+        if scene.spp > 0:
+            return dataclasses.replace(
+                self, spp=scene.spp, anti_aliasing=True, depth_of_field=True
+            )
+        return self
+
+
+# ---------------------------------------------------------------------------
+# small vector helpers (the Vector/Color algebra of vector.cpp / color.h)
+
+
+def dot(a, b):
+    return jnp.sum(a * b, axis=-1)
+
+
+def cross(a, b):
+    return jnp.cross(a, b)
+
+
+def norm(a, axis=-1, keepdims=False):
+    return jnp.sqrt(jnp.sum(a * a, axis=axis, keepdims=keepdims))
+
+
+def normalize(a, eps=0.0):
+    n = norm(a, keepdims=True)
+    return a / jnp.maximum(n, eps if eps else jnp.finfo(a.dtype).tiny)
+
+
+def clamp01(c):
+    """Color::clamp (color.h:38-43)."""
+    return jnp.clip(c, 0.0, 1.0)

@@ -1,0 +1,335 @@
+"""Whitted distribution ray tracer — the reference's rayTracing/renderScene
+(main.cpp:530-832) re-architected as an iterative, fully-vectorized level
+sweep over a static binary recursion tree.
+
+Recursion → wavefront: depth-``D`` recursion with (reflection, refraction)
+children becomes ``D`` levels; level ``l`` holds ``R·2^l`` ray slots (slot
+``2i`` = reflection child, ``2i+1`` = refraction child of slot ``i``). The
+forward sweep traces and locally shades each level; the backward sweep folds
+children into parents with ``local + KR·specColor·refl + (1-KR)·refr``
+(main.cpp:719). The in-repo GLSL iterative rayColor (P3D_RT.glsl:236-282) is
+the reference's own proof this flattening preserves the capability
+(SURVEY.md §3.3).
+
+Everything is masked rather than branched: inactive slots trace with
+direction (0,0,1) and contribute zero. Static shapes throughout — XLA sees
+one straight-line program per level.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core import constants as C
+from ..core.types import (
+    RenderConfig,
+    Rays,
+    Scene,
+    clamp01,
+    dot,
+    normalize,
+)
+from ..ops import intersect, shade
+from ..ops.camera import primary_rays
+from ..ops.sampling import sample_unit_disk
+
+_EPS = C.EPSILON
+
+
+# ---------------------------------------------------------------------------
+# closest-hit dispatch
+
+
+def trace_closest(scene: Scene, rays: Rays):
+    """Closest hit via the scene's accelerator; returns (t, obj_id).
+
+    Traversal indices are discrete (gradients stop there); shading re-derives
+    t differentiably from the gathered winner primitive (see whitted level
+    step below), mirroring the custom-VJP split of SURVEY.md §7.
+    """
+    if scene.accel_type == C.ACCEL_BVH and scene.bvh is not None:
+        from ..accel.traverse import bvh_closest_hit
+
+        return bvh_closest_hit(scene.bvh, scene.prims, rays)
+    if scene.accel_type == C.ACCEL_GRID and scene.grid is not None:
+        from ..accel.traverse import grid_closest_hit
+
+        return grid_closest_hit(scene.grid, scene.prims, rays)
+    return intersect.closest_hit_brute(scene.prims, rays)
+
+
+def trace_shadow(scene: Scene, rays: Rays, max_t):
+    """Any-hit occlusion via the scene's accelerator."""
+    if scene.accel_type == C.ACCEL_BVH and scene.bvh is not None:
+        from ..accel.traverse import bvh_any_hit
+
+        return bvh_any_hit(scene.bvh, scene.prims, rays, max_t)
+    if scene.accel_type == C.ACCEL_GRID and scene.grid is not None:
+        from ..accel.traverse import grid_any_hit
+
+        return grid_any_hit(scene.grid, scene.prims, rays, max_t)
+    return intersect.any_hit_brute(scene.prims, rays, max_t)
+
+
+# ---------------------------------------------------------------------------
+# direct lighting (processLight + the soft-shadow variants, main.cpp:593-630)
+
+
+def direct_lighting(scene: Scene, rays: Rays, hit_point, precise, normal,
+                    mat: shade.MatView, active, cfg: RenderConfig, key,
+                    shadow_offsets=None):
+    color = jnp.zeros_like(hit_point)
+    n_lights = max(scene.n_lights, 1)
+    for li in range(n_lights):
+        lpos = scene.lights.position[li]
+        lcol = scene.lights.color[li][None, :]
+
+        def one_sample(position, light_color):
+            Lv = position - hit_point  # unnormalized (main.cpp:627)
+            facing = dot(Lv, normal) > 0.0
+            shadow_rays = Rays(precise, Lv, rays.time)
+            max_t = C.BIG if cfg.shadow_unbounded else 1.0
+            occluded = trace_shadow(scene, shadow_rays, max_t)
+            lit = active & facing & ~occluded
+            return shade.blinn_phong(Lv, lit, light_color, mat,
+                                     rays.direction, normal)
+
+        if cfg.soft_shadow and not cfg.anti_aliasing:
+            # 4x4 grid of light positions, each 1/16 of the color
+            # (main.cpp:601-618): spacing 0.125, start at pos - 0.25.
+            shadow_w = 0.5
+            distance = shadow_w / 4.0
+            start = -distance * shadow_w * 4.0
+            avg_col = lcol / 16.0
+            for i in range(4):
+                for j in range(4):
+                    off = jnp.array(
+                        [start + j * distance, start + i * distance, 0.0],
+                        jnp.float32,
+                    )
+                    color += one_sample(lpos[None, :] + off, avg_col)
+        elif cfg.soft_shadow and cfg.anti_aliasing:
+            # jittered single sample tied to the AA subpixel indices
+            # (main.cpp:621-624)
+            key, sub = jax.random.split(key)
+            spp = max(cfg.spp, 1)
+            r2 = jax.random.uniform(sub, hit_point.shape[:-1] + (2,), jnp.float32)
+            ox, oy = shadow_offsets if shadow_offsets is not None else (0.0, 0.0)
+            jx = 0.5 * ((ox + r2[..., 0]) / spp)
+            jy = 0.5 * ((oy + r2[..., 1]) / spp)
+            pos = (lpos[None, :]
+                   + jnp.stack([jx, jy, jnp.zeros_like(jx)], axis=-1))
+            color += one_sample(pos, lcol)
+        else:
+            color += one_sample(lpos[None, :], lcol)
+    return color
+
+
+# ---------------------------------------------------------------------------
+# one recursion level
+
+
+def _level_step(scene: Scene, rays: Rays, active, ior_in, cfg: RenderConfig,
+                key, spawn: bool, shadow_offsets=None):
+    """Trace + locally shade one level; optionally emit children.
+
+    Returns (local_color, miss_color_mask, KR, spec_color, child rays/masks).
+    """
+    R = rays.origin.shape[0]
+    t_disc, obj_id = trace_closest(scene, rays)
+    obj_id = jax.lax.stop_gradient(obj_id)
+    hit = active & (obj_id >= 0)
+
+    params, ptype, mat_id = intersect.gather_prims(scene.prims, obj_id)
+    # differentiable re-intersection of the winner primitive
+    t = intersect.per_ray_t(params, ptype, rays.origin, rays.direction)
+    t = jnp.where(hit, t, 1.0)
+
+    hit_point = rays.origin + rays.direction * t[:, None]
+    # normal at hit, then re-evaluated at the ε-offset point (main.cpp:587-589)
+    n0 = normalize(
+        intersect.per_ray_normal(params, ptype, hit_point, rays.origin,
+                                 rays.direction), eps=1e-20)
+    precise = hit_point + n0 * _EPS
+    normal = normalize(
+        intersect.per_ray_normal(params, ptype, precise, rays.origin,
+                                 rays.direction), eps=1e-20)
+
+    mat = shade.gather_materials(scene.materials, mat_id)
+
+    key, klight = jax.random.split(key)
+    local = direct_lighting(scene, rays, hit_point, precise, normal, mat,
+                            hit, cfg, klight, shadow_offsets)
+
+    # miss color: flat background, or skybox lookup when wired in
+    # (main.cpp:581-584; capability per BASELINE config #4)
+    if cfg.use_skybox and scene.has_skybox:
+        bg = shade.skybox_color(scene.skybox, rays.direction)
+    else:
+        bg = jnp.broadcast_to(scene.bg_color[None, :], local.shape)
+    miss = active & (obj_id < 0)
+
+    if not spawn:
+        # depth == MAX_DEPTH leaf: clamp local color (main.cpp:632-634)
+        color = jnp.where(hit[:, None], clamp01(local), 0.0)
+        color = jnp.where(miss[:, None], bg, color)
+        return color, None
+
+    # flip the normal for secondary-ray math only (main.cpp:639-643)
+    inside = dot(rays.direction, normal) > 0.0
+    nf = jnp.where(inside[:, None], -normal, normal)
+
+    # reflection child (main.cpp:646-667)
+    refl_dir = shade.reflect_dir(rays.direction, nf)
+    refl_dir = normalize(refl_dir, eps=1e-20)
+    if cfg.fuzzy_reflection:
+        key, kf = jax.random.split(key)
+        refl_dir = shade.fuzzy_reflect_dir(kf, refl_dir, nf, cfg.roughness)
+    refl_active = hit & (mat.ks > 0.0)
+    refl_rays = Rays(precise, refl_dir, rays.time)
+
+    # refraction child (main.cpp:671-697)
+    ro = shade.refract(rays.direction, nf, inside, ior_in, mat.ior,
+                       cfg.refraction_mode)
+    refr_active = hit & (mat.transmit != 0.0) & ro.can_refract
+    refr_origin = hit_point + ro.direction * 0.001
+    refr_rays = Rays(refr_origin, ro.direction, rays.time)
+
+    kr = shade.fresnel_kr(ro, ior_in, mat.transmit, mat.ks, cfg.fresnel_mode)
+
+    local_color = jnp.where(hit[:, None], local, 0.0)
+    local_color = jnp.where(miss[:, None], bg, local_color)
+
+    children = dict(
+        refl=(refl_rays, refl_active, ior_in),
+        refr=(refr_rays, refr_active, ro.new_ior),
+    )
+    fold = dict(kr=kr, spec_color=mat.spec_color, hit=hit)
+    return local_color, (children, fold)
+
+
+def _interleave(a, b):
+    """[R,...],[R,...] -> [2R,...] with a at even, b at odd slots."""
+    return jnp.stack([a, b], axis=1).reshape((-1,) + a.shape[1:])
+
+
+def trace_rays(scene: Scene, rays: Rays, cfg: RenderConfig, key,
+               shadow_offsets=None) -> jnp.ndarray:
+    """Color for a batch of primary rays — the full Whitted tree. [R,3]"""
+    R = rays.origin.shape[0]
+    levels = []
+    cur_rays = rays
+    cur_active = jnp.ones((R,), bool)
+    cur_ior = jnp.ones((R,), jnp.float32)
+    cur_offsets = shadow_offsets
+
+    for lvl in range(cfg.max_depth):
+        key, sub = jax.random.split(key)
+        spawn = lvl < cfg.max_depth - 1
+        out = _level_step(scene, cur_rays, cur_active, cur_ior, cfg, sub,
+                          spawn, cur_offsets)
+        if spawn:
+            local_color, (children, fold) = out
+            levels.append((local_color, fold))
+            (refl_rays, refl_act, refl_ior) = children["refl"]
+            (refr_rays, refr_act, refr_ior) = children["refr"]
+            cur_rays = Rays(
+                _interleave(refl_rays.origin, refr_rays.origin),
+                _interleave(refl_rays.direction, refr_rays.direction),
+                _interleave(refl_rays.time, refr_rays.time),
+            )
+            cur_active = _interleave(refl_act, refr_act)
+            cur_ior = _interleave(refl_ior, refr_ior)
+            # shadow_offsets are the reference's global (i, j) subpixel
+            # indices (main.cpp:779-780): identical at every recursion level,
+            # so they pass through unchanged as scalars.
+        else:
+            leaf_color = out[0]
+
+    # backward fold: children -> parents (main.cpp:719)
+    child_color = leaf_color
+    for local_color, fold in reversed(levels):
+        refl = child_color[0::2]
+        refr = child_color[1::2]
+        kr = fold["kr"][:, None]
+        combined = (local_color
+                    + refl * kr * fold["spec_color"]
+                    + refr * (1.0 - kr))
+        # only hits spawn children; misses keep their bg color untouched
+        child_color = jnp.where(fold["hit"][:, None], combined, local_color)
+    return child_color
+
+
+# ---------------------------------------------------------------------------
+# pixel loop (renderScene, main.cpp:732-832)
+
+
+def render_tile(scene: Scene, px, py, cfg: RenderConfig, key) -> jnp.ndarray:
+    """Render a flat batch of pixel centers px,py -> [R,3] colors in [0,1]."""
+    R = px.shape[0]
+    if not cfg.anti_aliasing:
+        key, kcam, ktrace = jax.random.split(key, 3)
+        rays = primary_rays(scene.camera, px + 0.5, py + 0.5, kcam,
+                            depth_of_field=cfg.depth_of_field,
+                            motion_blur=cfg.motion_blur)
+        color = clamp01(trace_rays(scene, rays, cfg, ktrace))
+        return color
+
+    # spp*spp jittered subpixels (main.cpp:777-798), folded into a lax.scan so
+    # the compiled program stays one-sample-sized regardless of spp.
+    spp = max(cfg.spp, 1)
+    ij = jnp.array(
+        [(float(i), float(j)) for i in range(spp) for j in range(spp)],
+        jnp.float32,
+    )
+    keys = jax.random.split(key, spp * spp)
+
+    def body(acc, inp):
+        (i, j), k = inp
+        kj, kcam, ktrace = jax.random.split(k, 3)
+        r2 = jax.random.uniform(kj, (R, 2), jnp.float32)
+        sx = px + (i + r2[:, 0]) / spp
+        sy = py + (j + r2[:, 1]) / spp
+        rays = primary_rays(scene.camera, sx, sy, kcam,
+                            depth_of_field=cfg.depth_of_field,
+                            motion_blur=cfg.motion_blur)
+        offsets = (i, j)  # the reference's global subpixel indices
+        acc = acc + clamp01(trace_rays(scene, rays, cfg, ktrace, offsets))
+        return acc, None
+
+    color, _ = jax.lax.scan(body, jnp.zeros((R, 3), jnp.float32), (ij, keys))
+    # reference divides by 4*4 regardless of spp (main.cpp:800)
+    denom = 16.0 if cfg.reference_aa_div16 else float(spp * spp)
+    return color / denom
+
+
+render_tile_jit = jax.jit(render_tile, static_argnums=(3,))
+
+
+def render_image(scene: Scene, cfg: RenderConfig, key=None, *,
+                 tile_rows: int = 0) -> jnp.ndarray:
+    """Full-frame render -> [res_y, res_x, 3] float image in [0,1].
+
+    Row y=0 is the bottom scanline, as in the reference's framebuffer
+    (main.cpp:749-805 fills bottom-up; DevIL saves lower-left origin).
+    """
+    cam = scene.camera
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    ys, xs = jnp.meshgrid(
+        jnp.arange(cam.res_y, dtype=jnp.float32),
+        jnp.arange(cam.res_x, dtype=jnp.float32),
+        indexing="ij",
+    )
+    px = xs.reshape(-1)
+    py = ys.reshape(-1)
+
+    n = cam.res_y * cam.res_x
+    tile = n if tile_rows <= 0 else tile_rows * cam.res_x
+    chunks = []
+    for start in range(0, n, tile):
+        key, sub = jax.random.split(key)
+        end = min(start + tile, n)
+        chunks.append(render_tile_jit(scene, px[start:end], py[start:end],
+                                      cfg, sub))
+    return jnp.concatenate(chunks, axis=0).reshape(cam.res_y, cam.res_x, 3)

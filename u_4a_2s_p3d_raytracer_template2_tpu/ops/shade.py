@@ -1,0 +1,165 @@
+"""Whitted shading math: Blinn-Phong direct lighting, reflection/refraction
+directions, Fresnel weights.
+
+Reference semantics: processLight (main.cpp:471-526) and the recursive
+rayTracing body (main.cpp:530-721), flattened here into pure per-ray batch
+functions. All quirk switches are documented in RenderConfig.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import constants as C
+from ..core.types import Materials, RenderConfig, Rays, dot, normalize
+from .sampling import sample_unit_sphere
+
+_EPS = C.EPSILON
+
+
+class MatView(NamedTuple):
+    """Per-ray gathered material parameters."""
+
+    diff_color: jnp.ndarray  # [R,3]
+    kd: jnp.ndarray          # [R]
+    spec_color: jnp.ndarray  # [R,3]
+    ks: jnp.ndarray          # [R]
+    shine: jnp.ndarray       # [R]
+    transmit: jnp.ndarray    # [R]
+    ior: jnp.ndarray         # [R]
+
+
+def gather_materials(materials: Materials, mat_id: jnp.ndarray) -> MatView:
+    g = lambda a: a[mat_id]
+    return MatView(
+        g(materials.diff_color), g(materials.kd), g(materials.spec_color),
+        g(materials.ks), g(materials.shine), g(materials.transmit),
+        g(materials.ior),
+    )
+
+
+def blinn_phong(L_unnorm, lit_mask, light_color, mat: MatView, ray_dir, normal):
+    """One light's unshadowed contribution (main.cpp:513-525).
+
+    ``lit_mask`` combines the N·L>0 gate (on unnormalized L, main.cpp:476)
+    with the shadow test result. The specular term carries the reference's
+    hard-coded 0.4 scale (main.cpp:524).
+    """
+    Lh = normalize(L_unnorm, eps=1e-20)
+    V = normalize(-ray_dir, eps=1e-20)
+    H = normalize(Lh + V, eps=1e-20)
+    ndl = jnp.maximum(0.0, dot(normal, Lh))
+    vdn = jnp.maximum(0.0, dot(H, normal))
+    diff = light_color * mat.diff_color * ndl[:, None]
+    spec = light_color * mat.spec_color * jnp.power(vdn, mat.shine)[:, None]
+    contrib = diff * mat.kd[:, None] + spec * (mat.ks * 0.4)[:, None]
+    return jnp.where(lit_mask[:, None], contrib, 0.0)
+
+
+def reflect_dir(d, n):
+    """Mirror direction d - 2 n (d·n) (main.cpp:649); unit when d is unit."""
+    return d - 2.0 * n * dot(d, n)[:, None]
+
+
+def fuzzy_reflect_dir(key, refl, normal, roughness: float):
+    """Fuzzy perturbation (main.cpp:651-660): accept the perturbed direction
+    only if it stays in the normal's hemisphere, else keep the mirror."""
+    fuzz = normalize(refl + roughness * sample_unit_sphere(key, refl.shape[:-1]))
+    keep = dot(fuzz, normal) > 0.0
+    return jnp.where(keep[:, None], fuzz, refl)
+
+
+class RefractOut(NamedTuple):
+    direction: jnp.ndarray  # [R,3]
+    can_refract: jnp.ndarray  # [R] bool (False on total internal reflection)
+    cos_i: jnp.ndarray      # [R]
+    cos_t: jnp.ndarray      # [R]
+    new_ior: jnp.ndarray    # [R]
+
+
+def refract(d, normal_flipped, inside, ior_1, mat_ior, mode: str) -> RefractOut:
+    """Refraction via the reference's tangent/normal decomposition
+    (main.cpp:671-697).
+
+    mode "reference" reproduces the shipped direction t̂·sinθt + n̂ exactly;
+    mode "physical" is Snell's transmitted direction t̂·sinθt − n̂·cosθt.
+    """
+    V = -d
+    nf = normal_flipped
+    ndv = dot(nf, V)
+    viewnormal = nf * ndv[:, None]
+    viewtangent = viewnormal - V
+    eta = jnp.where(inside, ior_1, ior_1 / mat_ior)
+    cos_i = jnp.abs(ndv)  # == |viewnormal| for unit nf
+    sin_t = eta * jnp.linalg.norm(viewtangent, axis=-1)
+    insqrt = 1.0 - sin_t * sin_t
+    can = insqrt >= 0.0
+    cos_t = jnp.sqrt(jnp.maximum(insqrt, 0.0))
+    t_hat = normalize(viewtangent, eps=1e-12)
+    if mode == "reference":
+        direction = t_hat * sin_t[:, None] + nf
+    elif mode == "physical":
+        direction = normalize(
+            t_hat * sin_t[:, None] - nf * cos_t[:, None], eps=1e-12
+        )
+    else:
+        raise ValueError(f"unknown refraction mode {mode!r}")
+    new_ior = jnp.where(inside, 1.0, mat_ior)
+    return RefractOut(direction, can, cos_i, cos_t, new_ior)
+
+
+def fresnel_kr(ro: RefractOut, ior_1, transmit, ks, mode: str):
+    """Reflection weight KR (main.cpp:699-717).
+
+    Non-transmissive materials: KR = Ks (main.cpp:716). Transmissive:
+      "schlick"           — Schlick approx; KR=1 on TIR
+      "reference_schlick" — Schlick approx; KR=0 on TIR (int-division bug)
+      "reference_exact"   — KR=0 always (the dead branch at main.cpp:711)
+    """
+    transmissive = transmit != 0.0
+    if mode == "reference_exact":
+        kr_t = jnp.zeros_like(ior_1)
+    else:
+        r0 = ((ior_1 - ro.new_ior) / (ior_1 + ro.new_ior)) ** 2
+        schlick = r0 + (1.0 - r0) * (1.0 - ro.cos_i) ** 5
+        tir_kr = 1.0 if mode == "schlick" else 0.0
+        kr_t = jnp.where(ro.can_refract, schlick, tir_kr)
+    return jnp.where(transmissive, kr_t, ks)
+
+
+def skybox_color(skybox: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
+    """Cubemap nearest-texel lookup by dominant axis (scene.cpp:383-461).
+
+    Face order RIGHT,LEFT,TOP,BOTTOM,FRONT,BACK with the reference's
+    unusual conventions: LEFT at X=+1, RIGHT at X=-1 (scene.cpp:398).
+    skybox: [6, H, W, 3]; d: [R, 3] (need not be normalized).
+    """
+    x, y, z = d[:, 0], d[:, 1], d[:, 2]
+    ax, ay, az = jnp.abs(x), jnp.abs(y), jnp.abs(z)
+
+    # dominant-axis selection, z checked last with strict > (scene.cpp:396-408)
+    use_x = ax > ay
+    ma = jnp.where(use_x, ax, ay)
+    side = jnp.where(use_x, jnp.where(x >= 0, 1, 0), jnp.where(y >= 0, 2, 3))
+    use_z = az > ma
+    ma = jnp.where(use_z, az, ma)
+    side = jnp.where(use_z, jnp.where(z >= 0, 4, 5), side)
+
+    sc = jnp.select(
+        [side == 0, side == 1, side == 2, side == 3, side == 4, side == 5],
+        [-z, z, -x, -x, -x, x],
+    )
+    tc = jnp.select(
+        [side == 0, side == 1, side == 2, side == 3, side == 4, side == 5],
+        [y, y, -z, z, y, y],
+    )
+    inv = 1.0 / jnp.maximum(ma, 1e-20)
+    s = (sc * inv + 1.0) * 0.5
+    t = (tc * inv + 1.0) * 0.5
+
+    H, W = skybox.shape[1], skybox.shape[2]
+    xp = jnp.clip(((W - 1) * s).astype(jnp.int32), 0, W - 1)
+    yp = jnp.clip(((H - 1) * t).astype(jnp.int32), 0, H - 1)
+    return skybox[side, yp, xp]
