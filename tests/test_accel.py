@@ -1,0 +1,85 @@
+"""BVH and uniform-grid traversal must agree with brute-force closest hit.
+
+The reference's shipped BVH mode renders brute-force results anyway (missing
+``break`` at main.cpp:561-578), so brute-force equality IS reference parity
+(SURVEY.md quirks #1/#4).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import u_4a_2s_p3d_raytracer_template2_tpu as rt
+from u_4a_2s_p3d_raytracer_template2_tpu.accel.bvh import build_bvh
+from u_4a_2s_p3d_raytracer_template2_tpu.accel.grid import build_grid
+from u_4a_2s_p3d_raytracer_template2_tpu.accel.traverse import (
+    bvh_closest_hit,
+    grid_closest_hit,
+)
+from u_4a_2s_p3d_raytracer_template2_tpu.core.types import Rays
+from u_4a_2s_p3d_raytracer_template2_tpu.ops.intersect import closest_hit_brute
+
+from conftest import assert_images_close
+from test_whitted_vs_oracle import mixed_scene
+
+
+def random_sphere_soup(n=60, seed=0):
+    rng = np.random.default_rng(seed)
+    sd = rt.SceneDef()
+    sd.set_camera(eye=[0, 0, 12], at=[0, 0, 0], up=[0, 1, 0], fov=45,
+                  hither=0.01, res_x=24, res_y=24, aperture_ratio=0,
+                  focal_ratio=1)
+    m = sd.add_material([0.7, 0.7, 0.7], 1.0, [1, 1, 1], 0.1, 20, 0, 1)
+    for _ in range(n):
+        c = rng.uniform(-4, 4, 3)
+        r = rng.uniform(0.2, 0.8)
+        sd.add_sphere(c, r, m)
+    for _ in range(10):
+        base = rng.uniform(-4, 4, 3)
+        sd.add_triangle(base, base + rng.uniform(-1, 1, 3),
+                        base + rng.uniform(-1, 1, 3), m)
+    sd.add_light([10, 10, 10], [1, 1, 1])
+    return sd
+
+
+def make_rays(n=256, seed=1):
+    rng = np.random.default_rng(seed)
+    o = rng.uniform(-8, 8, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return Rays.make(o, d)
+
+
+@pytest.mark.parametrize("accel", ["bvh", "grid"])
+def test_traversal_matches_brute(accel):
+    sd = random_sphere_soup()
+    scene = rt.build_scene(sd)
+    rays = make_rays()
+    t_ref, id_ref = closest_hit_brute(scene.prims, rays)
+    if accel == "bvh":
+        acc = build_bvh(np.asarray(scene.prims.params),
+                        np.asarray(scene.prims.ptype))
+        t, oid = bvh_closest_hit(acc, scene.prims, rays)
+    else:
+        acc = build_grid(np.asarray(scene.prims.params),
+                         np.asarray(scene.prims.ptype))
+        t, oid = grid_closest_hit(acc, scene.prims, rays)
+    t, oid = np.asarray(t), np.asarray(oid)
+    t_ref, id_ref = np.asarray(t_ref), np.asarray(id_ref)
+    # t must match everywhere; ids may differ only on exact-tie overlaps
+    np.testing.assert_allclose(np.minimum(t, 1e30), np.minimum(t_ref, 1e30),
+                               rtol=1e-5, atol=1e-5)
+    assert (oid == id_ref).mean() > 0.995
+
+
+@pytest.mark.parametrize("accel", [rt.constants.ACCEL_BVH,
+                                   rt.constants.ACCEL_GRID])
+def test_full_render_matches_brute(accel):
+    """Whole-image parity: accel on vs off, including planes handled via the
+    unbounded side-table."""
+    sd = mixed_scene()
+    cfg = rt.RenderConfig()
+    img_none = np.asarray(
+        rt.render_image(rt.build_scene(sd, accel=rt.constants.ACCEL_NONE), cfg))
+    img_acc = np.asarray(rt.render_image(rt.build_scene(sd, accel=accel), cfg))
+    assert_images_close(img_acc, img_none, atol=1e-4, max_bad_frac=0.005)

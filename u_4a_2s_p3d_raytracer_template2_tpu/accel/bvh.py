@@ -1,0 +1,179 @@
+"""Host-side BVH construction → flat linearized arrays.
+
+Reproduces the reference build's ordering decisions (bvh.cpp:28-158) so leaf
+contents and node layout are comparable: leaf threshold 2, split axis =
+largest extent, objects sorted by centroid along the axis, spatial-median
+split point with fallback to centroid-mean and then to ``left+Threshold``,
+children allocated as a contiguous pair addressed by one index
+(bvh.cpp:149-153), leaves indexing into the sorted object order (bvh.cpp:55).
+
+The build runs in NumPy on host (SURVEY.md §3.5): BVH construction is
+pointer-light sorting work that XLA would do badly, while traversal — the hot
+path — ships to the device as flat arrays.
+
+Planes have no bounding box (scene.h:75 returns a default AABB; SURVEY.md
+component #8) and are excluded here; traversal tests them brute-force
+alongside the tree via ``unbounded_ids``.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..core import constants as C
+from ..core.types import BvhArrays
+
+THRESHOLD = 2  # leaf size (rayAccelerator.h:72)
+
+
+def object_bounds(params: np.ndarray, ptype: np.ndarray):
+    """AABB per object: [N,3] min / max.
+
+    triangle boxes are ε-padded like the Triangle ctor (scene.cpp:37-39).
+    """
+    n = params.shape[0]
+    bmin = np.zeros((n, 3), np.float32)
+    bmax = np.zeros((n, 3), np.float32)
+    for i in range(n):
+        p = params[i]
+        t = ptype[i]
+        if t == C.SPHERE:
+            c, r = p[0:3], p[3]
+            bmin[i], bmax[i] = c - r, c + r
+        elif t == C.TRIANGLE:
+            v0 = p[0:3]
+            v1 = v0 + p[3:6]
+            v2 = v0 + p[6:9]
+            bmin[i] = np.minimum(np.minimum(v0, v1), v2) - C.EPSILON
+            bmax[i] = np.maximum(np.maximum(v0, v1), v2) + C.EPSILON
+        elif t == C.AABOX:
+            bmin[i], bmax[i] = p[0:3], p[3:6]
+        else:  # plane or invalid: unbounded
+            bmin[i] = -np.inf
+            bmax[i] = np.inf
+    return bmin, bmax
+
+
+def build_bvh(params: np.ndarray, ptype: np.ndarray) -> BvhArrays:
+    bmin, bmax = object_bounds(params, ptype)
+    bounded = np.asarray(
+        [(t in (C.SPHERE, C.TRIANGLE, C.AABOX)) for t in ptype]
+    )
+    order = np.nonzero(bounded)[0].astype(np.int32)
+    unbounded = np.nonzero(~bounded & (ptype != C.INVALID))[0].astype(np.int32)
+
+    cmin = bmin[order]
+    cmax = bmax[order]
+    centroid = 0.5 * (cmin + cmax)
+
+    n = len(order)
+    # node arrays grown dynamically, then padded
+    nodes_min: list[np.ndarray] = []
+    nodes_max: list[np.ndarray] = []
+    nodes_leaf: list[bool] = []
+    nodes_index: list[int] = []
+    nodes_nobj: list[int] = []
+
+    perm = np.arange(n)
+
+    def node_bbox(lo, hi):
+        if hi <= lo:
+            return (np.full(3, np.inf, np.float32),
+                    np.full(3, -np.inf, np.float32))
+        sel = perm[lo:hi]
+        return cmin[sel].min(axis=0), cmax[sel].max(axis=0)
+
+    def push(mn, mx):
+        nodes_min.append(mn)
+        nodes_max.append(mx)
+        nodes_leaf.append(False)
+        nodes_index.append(0)
+        nodes_nobj.append(0)
+        return len(nodes_min) - 1
+
+    if n > 0:
+        wmin, wmax = node_bbox(0, n)
+        wmin = wmin - C.EPSILON  # world box ε-enlargement (bvh.cpp:41-42)
+        wmax = wmax + C.EPSILON
+        root = push(wmin, wmax)
+        stack = [(0, n, root)]
+        while stack:
+            lo, hi, node = stack.pop()
+            if hi - lo <= THRESHOLD:
+                nodes_leaf[node] = True
+                nodes_index[node] = lo
+                nodes_nobj[node] = hi - lo
+                continue
+            mn, mx = nodes_min[node], nodes_max[node]
+            ext = mx - mn
+            # largest-extent axis with the reference's tie preferences
+            # (bvh.cpp:64-70): x wins ties over y and z; y over z.
+            if ext[0] >= ext[1] and ext[0] >= ext[2]:
+                axis = 0
+            elif ext[1] >= ext[0] and ext[1] >= ext[2]:
+                axis = 1
+            else:
+                axis = 2
+            seg = perm[lo:hi]
+            seg = seg[np.argsort(centroid[seg, axis], kind="stable")]
+            perm[lo:hi] = seg
+            cs = centroid[seg, axis]
+
+            mid = 0.5 * (mx[axis] + mn[axis])
+            # fallback 1: centroid mean if the spatial median empties a side
+            # (bvh.cpp:84-91)
+            if cs[0] > mid or cs[-1] <= mid:
+                mid = cs.mean()
+            # fallback 2: left+Threshold if still degenerate (bvh.cpp:95-97)
+            if cs[0] > mid or cs[-1] <= mid:
+                split = lo + THRESHOLD
+            else:
+                split = lo + int(np.searchsorted(cs, mid, side="right"))
+            lmin, lmax = node_bbox(lo, split)
+            rmin, rmax = node_bbox(split, hi)
+            li = push(lmin, lmax)
+            ri = push(rmin, rmax)
+            assert ri == li + 1
+            nodes_leaf[node] = False
+            nodes_index[node] = li
+            # depth-first order matching the recursive build: left subtree
+            # fully before right (bvh.cpp:155-156) is not required for
+            # correctness of the flat layout; contiguous child pairs are.
+            stack.append((split, hi, ri))
+            stack.append((lo, split, li))
+
+    k = max(1, len(nodes_min))
+    pad_k = max(8, ((k + 7) // 8) * 8)
+    arr_min = np.zeros((pad_k, 3), np.float32)
+    arr_max = np.zeros((pad_k, 3), np.float32)
+    arr_leaf = np.zeros(pad_k, bool)
+    arr_index = np.zeros(pad_k, np.int32)
+    arr_nobj = np.zeros(pad_k, np.int32)
+    for i in range(len(nodes_min)):
+        arr_min[i] = nodes_min[i]
+        arr_max[i] = nodes_max[i]
+        arr_leaf[i] = nodes_leaf[i]
+        arr_index[i] = nodes_index[i]
+        arr_nobj[i] = nodes_nobj[i]
+
+    sorted_order = order[perm] if n > 0 else np.zeros(0, np.int32)
+    pad_n = max(8, ((max(n, 1) + 7) // 8) * 8)
+    order_arr = np.full(pad_n, -1, np.int32)
+    order_arr[:n] = sorted_order
+
+    pad_u = max(8, ((max(len(unbounded), 1) + 7) // 8) * 8)
+    unb = np.full(pad_u, -1, np.int32)
+    unb[: len(unbounded)] = unbounded
+
+    return BvhArrays(
+        bbox_min=jnp.asarray(arr_min),
+        bbox_max=jnp.asarray(arr_max),
+        leaf=jnp.asarray(arr_leaf),
+        index=jnp.asarray(arr_index),
+        n_objs=jnp.asarray(arr_nobj),
+        order=jnp.asarray(order_arr),
+        unbounded_ids=jnp.asarray(unb),
+        n_nodes=len(nodes_min),
+        n_bounded=n,
+    )

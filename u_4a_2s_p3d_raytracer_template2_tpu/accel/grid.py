@@ -1,0 +1,83 @@
+"""Host-side uniform grid construction (reference: Grid::Build, grid.cpp:30-98).
+
+Cell counts n = m·w·(N/V)^(1/3) + 1 with m = 2 (rayAccelerator.h:29); objects
+inserted into every overlapped cell (grid.cpp:75-91). Ships as a dense padded
+[ncells, max_per_cell] item table — regular gathers for the DDA walk instead
+of the reference's vector-of-vectors.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..core import constants as C
+from ..core.types import GridArrays
+from .bvh import object_bounds
+
+M_FACTOR = 2.0  # rayAccelerator.h:29
+
+
+def build_grid(params: np.ndarray, ptype: np.ndarray) -> GridArrays:
+    bmin, bmax = object_bounds(params, ptype)
+    bounded = np.asarray(
+        [(t in (C.SPHERE, C.TRIANGLE, C.AABOX)) for t in ptype]
+    )
+    ids = np.nonzero(bounded)[0].astype(np.int32)
+    unbounded = np.nonzero(~bounded & (ptype != C.INVALID))[0].astype(np.int32)
+
+    if len(ids) == 0:
+        return GridArrays(
+            bbox_min=jnp.zeros(3), bbox_max=jnp.ones(3),
+            cell_items=jnp.full((1, 1), -1, jnp.int32),
+            cell_count=jnp.zeros(1, jnp.int32),
+            unbounded_ids=jnp.asarray(np.concatenate([unbounded,
+                                                      [-1]]).astype(np.int32)),
+            nx=1, ny=1, nz=1, max_per_cell=1,
+        )
+
+    gmin = bmin[ids].min(axis=0) - C.EPSILON  # grid.cpp:49-50
+    gmax = bmax[ids].max(axis=0) + C.EPSILON
+    w = (gmax - gmin).astype(np.float64)
+    nobj = len(ids)
+    s = (nobj / max(w[0] * w[1] * w[2], 1e-12)) ** (1.0 / 3.0)
+    nx = int(M_FACTOR * w[0] * s + 1)
+    ny = int(M_FACTOR * w[1] * s + 1)
+    nz = int(M_FACTOR * w[2] * s + 1)
+    ncells = nx * ny * nz
+
+    cells: list[list[int]] = [[] for _ in range(ncells)]
+    for oid in ids:
+        ob_min, ob_max = bmin[oid], bmax[oid]
+        ixmin = int(np.clip((ob_min[0] - gmin[0]) * nx / w[0], 0, nx - 1))
+        iymin = int(np.clip((ob_min[1] - gmin[1]) * ny / w[1], 0, ny - 1))
+        izmin = int(np.clip((ob_min[2] - gmin[2]) * nz / w[2], 0, nz - 1))
+        ixmax = int(np.clip((ob_max[0] - gmin[0]) * nx / w[0], 0, nx - 1))
+        iymax = int(np.clip((ob_max[1] - gmin[1]) * ny / w[1], 0, ny - 1))
+        izmax = int(np.clip((ob_max[2] - gmin[2]) * nz / w[2], 0, nz - 1))
+        for iz in range(izmin, izmax + 1):
+            for iy in range(iymin, iymax + 1):
+                for ix in range(ixmin, ixmax + 1):
+                    cells[ix + nx * iy + nx * ny * iz].append(int(oid))
+
+    max_per_cell = max(1, max(len(c) for c in cells))
+    # round up to a lane-friendly multiple
+    max_per_cell = ((max_per_cell + 7) // 8) * 8
+    items = np.full((ncells, max_per_cell), -1, np.int32)
+    count = np.zeros(ncells, np.int32)
+    for i, c in enumerate(cells):
+        items[i, : len(c)] = c
+        count[i] = len(c)
+
+    pad_u = max(8, ((max(len(unbounded), 1) + 7) // 8) * 8)
+    unb = np.full(pad_u, -1, np.int32)
+    unb[: len(unbounded)] = unbounded
+
+    return GridArrays(
+        bbox_min=jnp.asarray(gmin.astype(np.float32)),
+        bbox_max=jnp.asarray(gmax.astype(np.float32)),
+        cell_items=jnp.asarray(items),
+        cell_count=jnp.asarray(count),
+        unbounded_ids=jnp.asarray(unb),
+        nx=nx, ny=ny, nz=nz, max_per_cell=max_per_cell,
+    )

@@ -1,0 +1,153 @@
+"""Headless command-line driver.
+
+The reference's driver is an interactive stdin prompt + GLUT window
+(main.cpp:871-999); per SURVEY.md §7 item 10 this is the stdin-free
+equivalent: ``render`` produces a PNG and timing/Mrays-s stats, ``bench``
+runs the benchmark loop, ``fit`` demonstrates inverse rendering.
+
+Usage::
+
+    python -m u_4a_2s_p3d_raytracer_template2_tpu.cli render scene.p3f -o out.png
+    python -m u_4a_2s_p3d_raytracer_template2_tpu.cli render --builtin mount -o out.png
+    python -m u_4a_2s_p3d_raytracer_template2_tpu.cli bench --scene mount
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+import time
+
+import numpy as np
+
+
+def _build_scene(args):
+    from .core.build import build_scene, load_scene
+    from .models import scenes as builders
+
+    if args.scene and not args.builtin:
+        scene = load_scene(args.scene, accel=args.accel)
+    else:
+        name = args.builtin or "mount"
+        builder = {
+            "mount": builders.mount_scene,
+            "spheres": builders.sphere_field_scene,
+            "random": builders.random_scene,
+        }[name]
+        sd = builder()
+        if args.res:
+            sd.camera["res_x"] = sd.camera["res_y"] = args.res
+        scene = build_scene(sd, accel=args.accel)
+    return scene
+
+
+def _config(args, scene):
+    from .core.types import RenderConfig
+
+    cfg = RenderConfig(
+        soft_shadow=args.soft_shadow,
+        fuzzy_reflection=args.fuzzy_reflection,
+        motion_blur=args.motion_blur,
+        use_skybox=args.skybox,
+        fresnel_mode=args.fresnel,
+        refraction_mode=args.refraction,
+    )
+    cfg = cfg.with_scene_flags(scene)
+    if args.spp is not None:
+        cfg = dataclasses.replace(
+            cfg, spp=args.spp, anti_aliasing=args.spp > 0,
+            depth_of_field=args.spp > 0)
+    return cfg
+
+
+def cmd_render(args):
+    import jax
+
+    from .io.image import save_png
+    from .models.whitted import render_image
+
+    scene = _build_scene(args)
+    cfg = _config(args, scene)
+    key = jax.random.PRNGKey(args.seed)
+
+    t0 = time.perf_counter()
+    img = render_image(scene, cfg, key, tile_rows=args.tile_rows)
+    img = np.asarray(img)
+    dt = time.perf_counter() - t0
+
+    cam = scene.camera
+    n_pix = cam.res_x * cam.res_y
+    spp = max(cfg.spp, 1) ** 2 if cfg.anti_aliasing else 1
+    # primary + per-light shadow rays at the top level, per SURVEY.md §6
+    rays = n_pix * spp * (1 + scene.n_lights)
+    print(f"Resolution {cam.res_x}x{cam.res_y}, {scene.n_objects} objects, "
+          f"{scene.n_lights} lights, accel={scene.accel_type}")
+    print(f"Done: {dt:.2f} (sec) — {rays / dt / 1e6:.2f} Mrays/s "
+          f"(primary+shadow)")
+    save_png(args.output, img)
+    print(f"Image file created: {args.output}")
+
+
+def cmd_fit(args):
+    import jax
+
+    from .models.whitted import render_image
+    from .parallel.dist import default_mesh, train_step
+
+    scene = _build_scene(args)
+    cfg = _config(args, scene)
+    mesh = default_mesh()
+    target = render_image(scene, cfg)
+
+    mats = dataclasses.replace(
+        scene.materials,
+        diff_color=np.clip(np.asarray(scene.materials.diff_color) + 0.3, 0, 1),
+    )
+    s = dataclasses.replace(scene, materials=mats)
+    for i in range(args.steps):
+        s, loss = train_step(s, target, cfg, mesh, args.lr,
+                             jax.random.PRNGKey(i))
+        print(f"step {i}: loss {float(loss):.6f}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="u_4a_2s_p3d_raytracer_template2_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("scene", nargs="?", help=".p3f scene file")
+        sp.add_argument("--builtin", choices=["mount", "spheres", "random"])
+        sp.add_argument("--accel", type=int, default=None,
+                        help="0 none, 1 grid, 2 bvh (default: scene's)")
+        sp.add_argument("--res", type=int, default=None)
+        sp.add_argument("--spp", type=int, default=None)
+        sp.add_argument("--seed", type=int, default=0)
+        sp.add_argument("--tile-rows", type=int, default=64)
+        sp.add_argument("--soft-shadow", action="store_true")
+        sp.add_argument("--fuzzy-reflection", action="store_true")
+        sp.add_argument("--motion-blur", action="store_true")
+        sp.add_argument("--skybox", action="store_true",
+                        help="sample the env cubemap on miss")
+        sp.add_argument("--fresnel", default="schlick",
+                        choices=["schlick", "reference_schlick",
+                                 "reference_exact"])
+        sp.add_argument("--refraction", default="reference",
+                        choices=["reference", "physical"])
+
+    pr = sub.add_parser("render", help="render a scene to PNG")
+    common(pr)
+    pr.add_argument("-o", "--output", default="RT_Output.png")
+    pr.set_defaults(fn=cmd_render)
+
+    pf = sub.add_parser("fit", help="inverse-rendering demo")
+    common(pf)
+    pf.add_argument("--steps", type=int, default=10)
+    pf.add_argument("--lr", type=float, default=1.0)
+    pf.set_defaults(fn=cmd_fit)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -104,31 +104,36 @@ class Camera:
     res_y: int = 512
 
 
-@pytree(meta=("n_nodes",))
+@pytree(meta=("n_nodes", "n_bounded"))
 class BvhArrays:
     """Flat linearized BVH (reference layout: rayAccelerator.h:52-69, bvh.cpp:149-153).
 
     ``index`` points at the left child pair for internal nodes and at the first
-    object (in ``order``) for leaves; children are contiguous pairs.
+    object (in ``order``) for leaves; children are contiguous pairs. Unbounded
+    primitives (planes — scene.h:75) cannot live in the tree and are tested
+    brute-force alongside via ``unbounded_ids``.
     """
 
-    bbox_min: jnp.ndarray  # [K, 3]
-    bbox_max: jnp.ndarray  # [K, 3]
-    leaf: jnp.ndarray      # [K] bool
-    index: jnp.ndarray     # [K] i32
-    n_objs: jnp.ndarray    # [K] i32
-    order: jnp.ndarray     # [N] i32  — sorted object ids (bvh.cpp:55)
+    bbox_min: jnp.ndarray       # [K, 3]
+    bbox_max: jnp.ndarray       # [K, 3]
+    leaf: jnp.ndarray           # [K] bool
+    index: jnp.ndarray          # [K] i32
+    n_objs: jnp.ndarray         # [K] i32
+    order: jnp.ndarray          # [Npad] i32 — sorted object ids (bvh.cpp:55)
+    unbounded_ids: jnp.ndarray  # [Ppad] i32, -1 padded
     n_nodes: int = 0
+    n_bounded: int = 0
 
 
 @pytree(meta=("nx", "ny", "nz", "max_per_cell"))
 class GridArrays:
-    """Uniform grid (reference: grid.cpp:30-98) in CSR-like padded layout."""
+    """Uniform grid (reference: grid.cpp:30-98) in dense padded layout."""
 
-    bbox_min: jnp.ndarray    # [3]
-    bbox_max: jnp.ndarray    # [3]
-    cell_items: jnp.ndarray  # [ncells, max_per_cell] i32, -1 padded
-    cell_count: jnp.ndarray  # [ncells] i32
+    bbox_min: jnp.ndarray       # [3]
+    bbox_max: jnp.ndarray       # [3]
+    cell_items: jnp.ndarray     # [ncells, max_per_cell] i32, -1 padded
+    cell_count: jnp.ndarray     # [ncells] i32
+    unbounded_ids: jnp.ndarray  # [Ppad] i32, -1 padded (planes)
     nx: int = 1
     ny: int = 1
     nz: int = 1
@@ -250,8 +255,12 @@ def norm(a, axis=-1, keepdims=False):
 
 
 def normalize(a, eps=0.0):
-    n = norm(a, keepdims=True)
-    return a / jnp.maximum(n, eps if eps else jnp.finfo(a.dtype).tiny)
+    """Safe normalize: zero vectors map to zero (double-where so the sqrt in
+    the norm has no infinite gradient at 0)."""
+    n2 = jnp.sum(a * a, axis=-1, keepdims=True)
+    ok = n2 > 0.0
+    n = jnp.where(ok, jnp.sqrt(jnp.where(ok, n2, 1.0)), 1.0)
+    return jnp.where(ok, a / n, 0.0)
 
 
 def clamp01(c):

@@ -31,7 +31,9 @@ def _sphere_t(params, o, d):
     b = 2.0 * jnp.einsum("rc,rnc->rn", d, L)
     c = dot(L, L) - radius * radius
     delta = b * b - 4.0 * a * c
-    sq = jnp.sqrt(jnp.maximum(delta, 0.0))
+    # double-where: sqrt gradient is infinite at 0 (grazing rays)
+    pos = delta > 0.0
+    sq = jnp.where(pos, jnp.sqrt(jnp.where(pos, delta, 1.0)), 0.0)
     t0 = (-b - sq) / (2.0 * a)
     t1 = (-b + sq) / (2.0 * a)
     t0_, t1_ = jnp.minimum(t0, t1), jnp.maximum(t0, t1)

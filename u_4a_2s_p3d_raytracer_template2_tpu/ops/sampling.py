@@ -29,7 +29,8 @@ def sample_unit_sphere(key, shape) -> jnp.ndarray:
     phi = jax.random.uniform(k2, shape, jnp.float32) * TWO_PI
     r = jnp.cbrt(jax.random.uniform(k3, shape, jnp.float32))
     s = jnp.sqrt(jnp.maximum(1.0 - x * x, 0.0))
-    return r * jnp.stack([s * jnp.sin(phi), s * jnp.cos(phi), x], axis=-1)
+    return r[..., None] * jnp.stack(
+        [s * jnp.sin(phi), s * jnp.cos(phi), x], axis=-1)
 
 
 def sample_unit_vector(key, shape) -> jnp.ndarray:

@@ -52,8 +52,16 @@ def blinn_phong(L_unnorm, lit_mask, light_color, mat: MatView, ray_dir, normal):
     H = normalize(Lh + V, eps=1e-20)
     ndl = jnp.maximum(0.0, dot(normal, Lh))
     vdn = jnp.maximum(0.0, dot(H, normal))
+    # double-where guard: pow(0, s) has a NaN gradient wrt s (0^s·ln 0);
+    # C pow(0,0)==1 semantics preserved for shine==0.
+    vdn_safe = jnp.where(vdn > 0.0, vdn, 1.0)
+    spec_pow = jnp.where(
+        vdn > 0.0,
+        jnp.power(vdn_safe, mat.shine),
+        jnp.where(mat.shine == 0.0, 1.0, 0.0),
+    )
     diff = light_color * mat.diff_color * ndl[:, None]
-    spec = light_color * mat.spec_color * jnp.power(vdn, mat.shine)[:, None]
+    spec = light_color * mat.spec_color * spec_pow[:, None]
     contrib = diff * mat.kd[:, None] + spec * (mat.ks * 0.4)[:, None]
     return jnp.where(lit_mask[:, None], contrib, 0.0)
 
@@ -96,7 +104,8 @@ def refract(d, normal_flipped, inside, ior_1, mat_ior, mode: str) -> RefractOut:
     sin_t = eta * jnp.linalg.norm(viewtangent, axis=-1)
     insqrt = 1.0 - sin_t * sin_t
     can = insqrt >= 0.0
-    cos_t = jnp.sqrt(jnp.maximum(insqrt, 0.0))
+    # double-where: sqrt has an infinite gradient at 0
+    cos_t = jnp.where(can, jnp.sqrt(jnp.where(can, insqrt, 1.0)), 0.0)
     t_hat = normalize(viewtangent, eps=1e-12)
     if mode == "reference":
         direction = t_hat * sin_t[:, None] + nf

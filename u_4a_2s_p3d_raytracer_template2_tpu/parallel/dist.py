@@ -1,0 +1,147 @@
+"""Multi-chip execution: pixel/ray sharding over a device mesh.
+
+The reference is single-threaded on one CPU core (SURVEY.md §2 'Parallelism —
+ABSENT'); the TPU-native design defines parallelism from scratch:
+
+  * rays/pixels are the batch axis → sharded over the mesh ('rays' axis is
+    the ray-tracing analogue of data parallelism),
+  * the scene (geometry, BVH, materials) is replicated per chip — the
+    analogue of replicated model state,
+  * differentiable-render gradients for material/light/camera parameters are
+    all-reduced with ``jax.lax.psum`` over ICI — the analogue of the NCCL
+    all-reduce backend,
+  * image assembly is a deterministic all-gather of per-shard tiles.
+
+Everything compiles under ``jit`` over a ``jax.sharding.Mesh``; the same code
+runs on one chip, a v5e slice, or a CPU mesh of virtual devices
+(``--xla_force_host_platform_device_count``).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.types import RenderConfig, Scene
+from ..models.whitted import render_tile
+
+AXIS = "rays"
+
+
+def default_mesh(n_devices: int | None = None) -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (AXIS,))
+
+
+def _pixel_grid(scene: Scene):
+    cam = scene.camera
+    ys, xs = jnp.meshgrid(
+        jnp.arange(cam.res_y, dtype=jnp.float32),
+        jnp.arange(cam.res_x, dtype=jnp.float32),
+        indexing="ij",
+    )
+    return xs.reshape(-1), ys.reshape(-1)
+
+
+def _pad_to(x, m):
+    r = x.shape[0] % m
+    if r == 0:
+        return x, x.shape[0]
+    pad = m - r
+    return jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)]), x.shape[0]
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def _render_sharded(scene: Scene, ppk, cfg: RenderConfig, mesh: Mesh):
+    px, py, key = ppk
+
+    def shard_fn(scene, px, py, key):
+        # decorrelate stochastic sampling across shards
+        key = jax.random.fold_in(key[0], jax.lax.axis_index(AXIS))
+        return render_tile(scene, px, py, cfg, key)
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(AXIS), P(AXIS), P()),
+        out_specs=P(AXIS),
+        check_vma=False,
+    )
+    return fn(scene, px, py, key[None])
+
+
+def render_image_sharded(scene: Scene, cfg: RenderConfig, mesh: Mesh,
+                         key=None) -> jnp.ndarray:
+    """Full-frame render with pixels sharded across the mesh. [H, W, 3]"""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    n = mesh.devices.size
+    px, py = _pixel_grid(scene)
+    px, true_n = _pad_to(px, n)
+    py, _ = _pad_to(py, n)
+    out = _render_sharded(scene, (px, py, key), cfg, mesh)
+    cam = scene.camera
+    return out[:true_n].reshape(cam.res_y, cam.res_x, 3)
+
+
+# ---------------------------------------------------------------------------
+# differentiable rendering: sharded loss + psum'd parameter gradients
+
+
+def _scene_with_materials(scene: Scene, materials) -> Scene:
+    return dataclasses.replace(scene, materials=materials)
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def train_step(scene: Scene, target, cfg: RenderConfig, mesh: Mesh,
+               lr: float = 0.05, key=None):
+    """One step of inverse rendering: fit material parameters so the render
+    matches ``target`` ([H,W,3], row 0 = bottom). Returns (scene', loss).
+
+    Pixels shard over the mesh; material gradients are computed per shard and
+    all-reduced with psum — gradient all-reduce over ICI per SURVEY.md §5.
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    n = mesh.devices.size
+    px, py = _pixel_grid(scene)
+    tgt = target.reshape(-1, 3)
+    px, true_n = _pad_to(px, n)
+    py, _ = _pad_to(py, n)
+    tgt, _ = _pad_to(tgt, n)
+    total = float(true_n)
+
+    def shard_fn(scene, px, py, tgt, key):
+        key = jax.random.fold_in(key[0], jax.lax.axis_index(AXIS))
+
+        def local_loss(materials):
+            s = _scene_with_materials(scene, materials)
+            img = render_tile(s, px, py, cfg, key)
+            return jnp.sum((img - tgt) ** 2) / total
+
+        loss, grads = jax.value_and_grad(local_loss)(scene.materials)
+
+        # explicit gradient all-reduce — the NCCL-allreduce analogue
+        grads = jax.tree.map(lambda g: jax.lax.psum(g, AXIS), grads)
+        loss = jax.lax.psum(loss, AXIS)
+        return loss[None], jax.tree.map(lambda g: g[None], grads)
+
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(AXIS), P(AXIS), P(AXIS), P()),
+        out_specs=(P(AXIS), P(AXIS)),
+        check_vma=False,
+    )
+    loss, grads = fn(scene, px, py, tgt, key[None])
+    loss = loss[0]
+    grads = jax.tree.map(lambda g: g[0], grads)
+    new_mats = jax.tree.map(lambda p, g: p - lr * g, scene.materials, grads)
+    return _scene_with_materials(scene, new_mats), loss
