@@ -83,3 +83,46 @@ def test_full_render_matches_brute(accel):
         rt.render_image(rt.build_scene(sd, accel=rt.constants.ACCEL_NONE), cfg))
     img_acc = np.asarray(rt.render_image(rt.build_scene(sd, accel=accel), cfg))
     assert_images_close(img_acc, img_none, atol=1e-4, max_bad_frac=0.005)
+
+
+def test_native_builders_match_numpy():
+    """The C++ accelerator builders must produce identical flat arrays to
+    the NumPy reference implementations."""
+    from u_4a_2s_p3d_raytracer_template2_tpu import native
+
+    if not native.available():
+        pytest.skip("no native toolchain")
+    sd = random_sphere_soup(n=120, seed=3)
+    scene = rt.build_scene(sd, accel=rt.constants.ACCEL_NONE)
+    params = np.asarray(scene.prims.params)
+    ptype = np.asarray(scene.prims.ptype)
+
+    b_native = build_bvh(params, ptype, use_native=True)
+    b_py = build_bvh(params, ptype, use_native=False)
+    assert b_native.n_nodes == b_py.n_nodes
+    np.testing.assert_array_equal(np.asarray(b_native.order),
+                                  np.asarray(b_py.order))
+    np.testing.assert_allclose(np.asarray(b_native.bbox_min),
+                               np.asarray(b_py.bbox_min), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(b_native.leaf),
+                                  np.asarray(b_py.leaf))
+    np.testing.assert_array_equal(np.asarray(b_native.index),
+                                  np.asarray(b_py.index))
+
+    g_native = build_grid(params, ptype, use_native=True)
+    g_py = build_grid(params, ptype, use_native=False)
+    assert (g_native.nx, g_native.ny, g_native.nz) == (g_py.nx, g_py.ny, g_py.nz)
+    np.testing.assert_array_equal(np.asarray(g_native.cell_count),
+                                  np.asarray(g_py.cell_count))
+    # same per-cell membership (order within a cell may differ)
+    ci_n = np.sort(np.asarray(g_native.cell_items), axis=1)
+    pad = ci_n.shape[1] - np.asarray(g_py.cell_items).shape[1]
+    ci_p = np.asarray(g_py.cell_items)
+    if pad > 0:
+        ci_p = np.pad(ci_p, ((0, 0), (0, pad)), constant_values=-1)
+    elif pad < 0:
+        ci_n2 = np.pad(np.sort(np.asarray(g_py.cell_items), axis=1),
+                       ((0, 0), (0, 0)))
+        ci_p = ci_p
+    ci_p = np.sort(ci_p, axis=1)
+    np.testing.assert_array_equal(ci_n, ci_p[:, :ci_n.shape[1]] if ci_p.shape[1] >= ci_n.shape[1] else ci_p)

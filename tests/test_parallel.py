@@ -66,3 +66,28 @@ def test_train_step_reduces_loss():
                              jax.random.PRNGKey(i))
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.5, losses
+
+
+def test_mount_scene_gradients_finite():
+    """Gradients through the refraction-heavy mount scene (transmissive
+    ior=1.6 spheres AND an ior=0 rock material) must be finite — guards
+    against 0*inf poisoning through masked-out refraction lanes."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    from u_4a_2s_p3d_raytracer_template2_tpu.models.whitted import render_tile
+
+    scene = rt.build_scene(mount_scene(res=12))
+    cfg = rt.RenderConfig()
+    ys, xs = jnp.meshgrid(jnp.arange(12, dtype=jnp.float32),
+                          jnp.arange(12, dtype=jnp.float32), indexing="ij")
+    px, py = xs.reshape(-1), ys.reshape(-1)
+
+    def loss(materials):
+        s = dataclasses.replace(scene, materials=materials)
+        img = render_tile(s, px, py, cfg, jax.random.PRNGKey(0))
+        return jnp.sum(img ** 2)
+
+    grads = jax.grad(loss)(scene.materials)
+    for leaf in jax.tree.leaves(grads):
+        assert np.isfinite(np.asarray(leaf)).all()

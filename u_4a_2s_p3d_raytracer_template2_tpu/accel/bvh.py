@@ -55,7 +55,42 @@ def object_bounds(params: np.ndarray, ptype: np.ndarray):
     return bmin, bmax
 
 
-def build_bvh(params: np.ndarray, ptype: np.ndarray) -> BvhArrays:
+def _build_core_native(cmin: np.ndarray, cmax: np.ndarray):
+    """C++ builder (native/src/accel_build.cpp) — same algorithm, same
+    outputs as the NumPy path; returns None if no native lib."""
+    from .. import native
+
+    lib = native.get_lib()
+    if lib is None:
+        return None
+    import ctypes
+
+    n = cmin.shape[0]
+    cminf = np.ascontiguousarray(cmin, np.float32)
+    cmaxf = np.ascontiguousarray(cmax, np.float32)
+    order = np.zeros(n, np.int32)
+    node_min = np.zeros((2 * n, 3), np.float32)
+    node_max = np.zeros((2 * n, 3), np.float32)
+    leaf = np.zeros(2 * n, np.uint8)
+    index = np.zeros(2 * n, np.int32)
+    nobjs = np.zeros(2 * n, np.int32)
+    fp = ctypes.POINTER(ctypes.c_float)
+    ip = ctypes.POINTER(ctypes.c_int)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    k = lib.rt_build_bvh(
+        cminf.ctypes.data_as(fp), cmaxf.ctypes.data_as(fp), n, THRESHOLD,
+        order.ctypes.data_as(ip),
+        node_min.ctypes.data_as(fp), node_max.ctypes.data_as(fp),
+        leaf.ctypes.data_as(u8p), index.ctypes.data_as(ip),
+        nobjs.ctypes.data_as(ip))
+    if k < 0:
+        return None
+    return (order, node_min[:k], node_max[:k], leaf[:k].astype(bool),
+            index[:k], nobjs[:k])
+
+
+def build_bvh(params: np.ndarray, ptype: np.ndarray,
+              use_native: bool = True) -> BvhArrays:
     bmin, bmax = object_bounds(params, ptype)
     bounded = np.asarray(
         [(t in (C.SPHERE, C.TRIANGLE, C.AABOX)) for t in ptype]
@@ -68,6 +103,13 @@ def build_bvh(params: np.ndarray, ptype: np.ndarray) -> BvhArrays:
     centroid = 0.5 * (cmin + cmax)
 
     n = len(order)
+
+    if use_native and n > 0:
+        built = _build_core_native(cmin, cmax)
+        if built is not None:
+            perm_order, nmins, nmaxs, nleafs, nidxs, nnobjs = built
+            return _pack(order[perm_order], unbounded, nmins, nmaxs, nleafs,
+                         nidxs, nnobjs, n)
     # node arrays grown dynamically, then padded
     nodes_min: list[np.ndarray] = []
     nodes_max: list[np.ndarray] = []
@@ -143,6 +185,16 @@ def build_bvh(params: np.ndarray, ptype: np.ndarray) -> BvhArrays:
             stack.append((split, hi, ri))
             stack.append((lo, split, li))
 
+    return _pack(
+        order[perm] if n > 0 else np.zeros(0, np.int32), unbounded,
+        np.asarray(nodes_min, np.float32).reshape(-1, 3),
+        np.asarray(nodes_max, np.float32).reshape(-1, 3),
+        np.asarray(nodes_leaf, bool), np.asarray(nodes_index, np.int32),
+        np.asarray(nodes_nobj, np.int32), n)
+
+
+def _pack(sorted_order, unbounded, nodes_min, nodes_max, nodes_leaf,
+          nodes_index, nodes_nobj, n) -> BvhArrays:
     k = max(1, len(nodes_min))
     pad_k = max(8, ((k + 7) // 8) * 8)
     arr_min = np.zeros((pad_k, 3), np.float32)
@@ -150,14 +202,13 @@ def build_bvh(params: np.ndarray, ptype: np.ndarray) -> BvhArrays:
     arr_leaf = np.zeros(pad_k, bool)
     arr_index = np.zeros(pad_k, np.int32)
     arr_nobj = np.zeros(pad_k, np.int32)
-    for i in range(len(nodes_min)):
-        arr_min[i] = nodes_min[i]
-        arr_max[i] = nodes_max[i]
-        arr_leaf[i] = nodes_leaf[i]
-        arr_index[i] = nodes_index[i]
-        arr_nobj[i] = nodes_nobj[i]
+    kk = len(nodes_min)
+    arr_min[:kk] = nodes_min
+    arr_max[:kk] = nodes_max
+    arr_leaf[:kk] = nodes_leaf
+    arr_index[:kk] = nodes_index
+    arr_nobj[:kk] = nodes_nobj
 
-    sorted_order = order[perm] if n > 0 else np.zeros(0, np.int32)
     pad_n = max(8, ((max(n, 1) + 7) // 8) * 8)
     order_arr = np.full(pad_n, -1, np.int32)
     order_arr[:n] = sorted_order
@@ -174,6 +225,6 @@ def build_bvh(params: np.ndarray, ptype: np.ndarray) -> BvhArrays:
         n_objs=jnp.asarray(arr_nobj),
         order=jnp.asarray(order_arr),
         unbounded_ids=jnp.asarray(unb),
-        n_nodes=len(nodes_min),
+        n_nodes=kk,
         n_bounded=n,
     )

@@ -18,7 +18,8 @@ from .bvh import object_bounds
 M_FACTOR = 2.0  # rayAccelerator.h:29
 
 
-def build_grid(params: np.ndarray, ptype: np.ndarray) -> GridArrays:
+def build_grid(params: np.ndarray, ptype: np.ndarray,
+               use_native: bool = True) -> GridArrays:
     bmin, bmax = object_bounds(params, ptype)
     bounded = np.asarray(
         [(t in (C.SPHERE, C.TRIANGLE, C.AABOX)) for t in ptype]
@@ -35,6 +36,11 @@ def build_grid(params: np.ndarray, ptype: np.ndarray) -> GridArrays:
                                                       [-1]]).astype(np.int32)),
             nx=1, ny=1, nz=1, max_per_cell=1,
         )
+
+    if use_native:
+        built = _build_grid_native(bmin[ids], bmax[ids], ids, unbounded)
+        if built is not None:
+            return built
 
     gmin = bmin[ids].min(axis=0) - C.EPSILON  # grid.cpp:49-50
     gmax = bmax[ids].max(axis=0) + C.EPSILON
@@ -80,4 +86,57 @@ def build_grid(params: np.ndarray, ptype: np.ndarray) -> GridArrays:
         cell_count=jnp.asarray(count),
         unbounded_ids=jnp.asarray(unb),
         nx=nx, ny=ny, nz=nz, max_per_cell=max_per_cell,
+    )
+
+
+def _build_grid_native(bmin, bmax, ids, unbounded):
+    """C++ grid builder (native/src/accel_build.cpp); None if unavailable."""
+    from .. import native
+
+    lib = native.get_lib()
+    if lib is None:
+        return None
+    import ctypes
+
+    fp = ctypes.POINTER(ctypes.c_float)
+    ip = ctypes.POINTER(ctypes.c_int)
+    n = len(ids)
+    bminf = np.ascontiguousarray(bmin, np.float32)
+    bmaxf = np.ascontiguousarray(bmax, np.float32)
+    gmin = np.zeros(3, np.float32)
+    gmax = np.zeros(3, np.float32)
+    dims = np.zeros(3, np.int32)
+    # phase 1: discover max_per_cell
+    need = lib.rt_build_grid(
+        bminf.ctypes.data_as(fp), bmaxf.ctypes.data_as(fp), n,
+        ctypes.c_float(M_FACTOR), gmin.ctypes.data_as(fp),
+        gmax.ctypes.data_as(fp), dims.ctypes.data_as(ip), 0, None, None)
+    if need < 0:
+        return None
+    max_per_cell = max(1, ((need + 7) // 8) * 8)
+    ncells = int(dims[0]) * int(dims[1]) * int(dims[2])
+    items = np.zeros((ncells, max_per_cell), np.int32)
+    counts = np.zeros(ncells, np.int32)
+    rc = lib.rt_build_grid(
+        bminf.ctypes.data_as(fp), bmaxf.ctypes.data_as(fp), n,
+        ctypes.c_float(M_FACTOR), gmin.ctypes.data_as(fp),
+        gmax.ctypes.data_as(fp), dims.ctypes.data_as(ip), max_per_cell,
+        items.ctypes.data_as(ip), counts.ctypes.data_as(ip))
+    if rc != 0:
+        return None
+    # local indices -> global object ids
+    gids = np.asarray(ids, np.int32)
+    items = np.where(items >= 0, gids[np.maximum(items, 0)], -1)
+
+    pad_u = max(8, ((max(len(unbounded), 1) + 7) // 8) * 8)
+    unb = np.full(pad_u, -1, np.int32)
+    unb[: len(unbounded)] = unbounded
+    return GridArrays(
+        bbox_min=jnp.asarray(gmin),
+        bbox_max=jnp.asarray(gmax),
+        cell_items=jnp.asarray(items),
+        cell_count=jnp.asarray(counts),
+        unbounded_ids=jnp.asarray(unb),
+        nx=int(dims[0]), ny=int(dims[1]), nz=int(dims[2]),
+        max_per_cell=max_per_cell,
     )

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from ..core import constants as C
 from ..core.types import BvhArrays, GridArrays, Primitives, Rays
-from ..ops.intersect import chunk_t
+from ..ops.intersect import _safe_inv, chunk_t
 
 STACK = 64
 
@@ -70,7 +70,7 @@ def _leaf_closest(prims: Primitives, order, start, count, o, d, max_count):
 def _bvh_walk_single(bvh: BvhArrays, prims: Primitives, o, d, any_hit_max_t):
     """One ray's BVH walk. If any_hit_max_t >= 0: early-exit any-hit mode
     returning (t_first_hit_or_BIG, -1/0 flag encoded in id)."""
-    inv_d = 1.0 / d
+    inv_d = _safe_inv(d)
     max_leaf = 4  # leaves hold <= Threshold objects; small static bound
 
     root_hit, _ = _aabb_enter(bvh.bbox_min[0], bvh.bbox_max[0], o, inv_d)
@@ -201,7 +201,7 @@ def _grid_walk_single(grid: GridArrays, prims: Primitives, o, d):
     b0 = grid.bbox_min
     b1 = grid.bbox_max
 
-    inv = 1.0 / d
+    inv = _safe_inv(d)
     lo = (b0 - o) * inv
     hi = (b1 - o) * inv
     pos = inv >= 0.0

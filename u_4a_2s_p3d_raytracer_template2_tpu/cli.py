@@ -22,10 +22,15 @@ import numpy as np
 
 
 def _build_scene(args):
+    import os
+
     from .core.build import build_scene, load_scene
     from .models import scenes as builders
 
     if args.scene and not args.builtin:
+        if not os.path.exists(args.scene):
+            print(f"Error opening P3F file: {args.scene}", file=sys.stderr)
+            raise SystemExit(2)
         scene = load_scene(args.scene, accel=args.accel)
     else:
         name = args.builtin or "mount"
@@ -63,6 +68,10 @@ def _config(args, scene):
 def cmd_render(args):
     import jax
 
+    from .utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from .io.image import save_png
     from .models.whitted import render_image
 
@@ -70,19 +79,27 @@ def cmd_render(args):
     cfg = _config(args, scene)
     key = jax.random.PRNGKey(args.seed)
 
+    cam = scene.camera
+    print(f"Resolution {cam.res_x}x{cam.res_y}, {scene.n_objects} objects, "
+          f"{scene.n_lights} lights, accel={scene.accel_type}")
+
     t0 = time.perf_counter()
     img = render_image(scene, cfg, key, tile_rows=args.tile_rows)
     img = np.asarray(img)
+    dt_total = time.perf_counter() - t0
+
+    # steady-state timing, compile excluded (first call pays jit compile)
+    t0 = time.perf_counter()
+    img2 = render_image(scene, cfg, key, tile_rows=args.tile_rows)
+    np.asarray(img2)
     dt = time.perf_counter() - t0
 
-    cam = scene.camera
     n_pix = cam.res_x * cam.res_y
     spp = max(cfg.spp, 1) ** 2 if cfg.anti_aliasing else 1
     # primary + per-light shadow rays at the top level, per SURVEY.md §6
     rays = n_pix * spp * (1 + scene.n_lights)
-    print(f"Resolution {cam.res_x}x{cam.res_y}, {scene.n_objects} objects, "
-          f"{scene.n_lights} lights, accel={scene.accel_type}")
-    print(f"Done: {dt:.2f} (sec) — {rays / dt / 1e6:.2f} Mrays/s "
+    print(f"Done: {dt_total:.2f} s first render (incl. compile); "
+          f"{dt:.3f} s steady-state — {rays / dt / 1e6:.2f} Mrays/s "
           f"(primary+shadow)")
     save_png(args.output, img)
     print(f"Image file created: {args.output}")
@@ -90,6 +107,10 @@ def cmd_render(args):
 
 def cmd_fit(args):
     import jax
+
+    from .utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
 
     from .models.whitted import render_image
     from .parallel.dist import default_mesh, train_step

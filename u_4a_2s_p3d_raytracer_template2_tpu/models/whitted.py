@@ -192,8 +192,14 @@ def _level_step(scene: Scene, rays: Rays, active, ior_in, cfg: RenderConfig,
     ro = shade.refract(rays.direction, nf, inside, ior_in, mat.ior,
                        cfg.refraction_mode)
     refr_active = hit & (mat.transmit != 0.0) & ro.can_refract
-    refr_origin = hit_point + ro.direction * 0.001
-    refr_rays = Rays(refr_origin, ro.direction, rays.time)
+    # sanitize inactive lanes: a non-finite direction would still poison
+    # gradients through the downstream masking (0·inf = NaN in cotangents)
+    default_dir = jnp.broadcast_to(
+        jnp.array([0.0, 0.0, 1.0], jnp.float32), ro.direction.shape)
+    refr_dir = jnp.where(refr_active[:, None], ro.direction, default_dir)
+    refr_origin = jnp.where(refr_active[:, None],
+                            hit_point + refr_dir * 0.001, precise)
+    refr_rays = Rays(refr_origin, refr_dir, rays.time)
 
     kr = shade.fresnel_kr(ro, ior_in, mat.transmit, mat.ks, cfg.fresnel_mode)
 

@@ -73,12 +73,22 @@ def _plane_t(params, o, d):
     return jnp.where(ok, t, C.BIG)
 
 
+def _safe_inv(d):
+    """1/d with zero components mapped to ±1e30 instead of inf: same slab
+    semantics as the reference's IEEE-inf arithmetic (scene.cpp:203) but
+    NaN-free (0·inf would otherwise poison both forward values and
+    where-masked gradients)."""
+    tiny = jnp.abs(d) < 1e-30
+    sign = jnp.where(d < 0.0, -1.0, 1.0)
+    return jnp.where(tiny, sign * 1e30, 1.0 / jnp.where(tiny, 1.0, d))
+
+
 def _box_slabs(params, o, d):
     """Per-axis (tmin, tmax) slab values with the reference's sign swap
     (scene.cpp:203-232). Returns [R,Nc,3] each."""
     bmin = params[:, 0:3][None, :, :]
     bmax = params[:, 3:6][None, :, :]
-    inv = 1.0 / d[:, None, :]  # IEEE inf on zero components, as in the reference
+    inv = _safe_inv(d)[:, None, :]
     lo = (bmin - o[:, None, :]) * inv
     hi = (bmax - o[:, None, :]) * inv
     pos = inv >= 0.0
@@ -201,7 +211,7 @@ def per_ray_normal(params, ptype, point, o, d):
     n_pl = params[:, 0:3]
 
     # per-ray slab test against each ray's own gathered box params
-    inv = 1.0 / d                                  # [R,3]
+    inv = _safe_inv(d)                             # [R,3]
     lo = (params[:, 0:3] - o) * inv
     hi = (params[:, 3:6] - o) * inv
     pos = inv >= 0.0

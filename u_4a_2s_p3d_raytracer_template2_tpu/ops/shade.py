@@ -99,6 +99,10 @@ def refract(d, normal_flipped, inside, ior_1, mat_ior, mode: str) -> RefractOut:
     ndv = dot(nf, V)
     viewnormal = nf * ndv[:, None]
     viewtangent = viewnormal - V
+    # non-transmissive materials may carry ior=0 (e.g. mount_low's rock,
+    # "f ... 0 0"); their refraction output is masked out downstream, but an
+    # inf eta would still poison gradients through 0·inf — guard it.
+    mat_ior = jnp.where(mat_ior > 0.0, mat_ior, 1.0)
     eta = jnp.where(inside, ior_1, ior_1 / mat_ior)
     cos_i = jnp.abs(ndv)  # == |viewnormal| for unit nf
     sin_t = eta * jnp.linalg.norm(viewtangent, axis=-1)

@@ -144,4 +144,17 @@ def train_step(scene: Scene, target, cfg: RenderConfig, mesh: Mesh,
     loss = loss[0]
     grads = jax.tree.map(lambda g: g[0], grads)
     new_mats = jax.tree.map(lambda p, g: p - lr * g, scene.materials, grads)
+    # project back to the valid material domain so SGD can't step into
+    # regions where the forward pass is undefined (ior<1 → negative eta,
+    # shine<0 → pow NaN, colors outside [0,1])
+    new_mats = dataclasses.replace(
+        new_mats,
+        diff_color=jnp.clip(new_mats.diff_color, 0.0, 1.0),
+        spec_color=jnp.clip(new_mats.spec_color, 0.0, 1.0),
+        kd=jnp.clip(new_mats.kd, 0.0, 1.0),
+        ks=jnp.clip(new_mats.ks, 0.0, 1.0),
+        transmit=jnp.clip(new_mats.transmit, 0.0, 1.0),
+        shine=jnp.maximum(new_mats.shine, 1.0),
+        ior=jnp.maximum(new_mats.ior, 1.0),
+    )
     return _scene_with_materials(scene, new_mats), loss
