@@ -3,6 +3,7 @@
 Covers BASELINE configs #1/#2: sphere+plane Whitted and a multi-sphere scene
 with reflection + refraction, brute-force intersection.
 """
+import jax
 import numpy as np
 import pytest
 
@@ -98,3 +99,35 @@ def test_unbounded_shadow_quirk():
     # reference quirk: the same pixels fall in shadow from an occluder that
     # sits beyond the light
     assert unbounded[lit].max() <= 1e-6
+
+
+def test_distribution_mode_aa_dof():
+    """AA+DoF distribution mode (spp>0): the jittered-subpixel scan path.
+    The AA estimate must stay close to the deterministic render and the
+    reference /16 quirk must scale it by (spp/4)^2."""
+    import dataclasses
+
+    sd = mixed_scene(res=16)
+    sd.spp = 2
+    scene = rt.build_scene(sd)
+    cfg = rt.RenderConfig(soft_shadow=True).with_scene_flags(scene)
+    assert cfg.anti_aliasing and cfg.depth_of_field and cfg.spp == 2
+    img = np.asarray(rt.render_image(scene, cfg))
+    assert np.isfinite(img).all() and img.min() >= 0 and img.max() <= 1
+
+    plain = np.asarray(rt.render_image(scene, rt.RenderConfig()))
+    assert np.abs(img.mean() - plain.mean()) < 0.1
+
+    # reference AA quirk: hard-coded /(4*4) average (main.cpp:800)
+    cfg16 = dataclasses.replace(cfg, reference_aa_div16=True)
+    img16 = np.asarray(rt.render_image(scene, cfg16, jax.random.PRNGKey(0)))
+    img_n = np.asarray(rt.render_image(scene, cfg, jax.random.PRNGKey(0)))
+    np.testing.assert_allclose(img16 * 16.0, img_n * 4.0, atol=1e-5)
+
+
+def test_fuzzy_reflection_and_motion_blur_run():
+    sd = mixed_scene(res=12)
+    scene = rt.build_scene(sd)
+    cfg = rt.RenderConfig(fuzzy_reflection=True, motion_blur=True)
+    img = np.asarray(rt.render_image(scene, cfg, jax.random.PRNGKey(1)))
+    assert np.isfinite(img).all()

@@ -72,6 +72,22 @@ def build_scene(
         ptype[i] = o.ptype
         mat_id[i] = max(o.mat_id, 0)
 
+    # type-grouped views (pre-gathered so the brute-force path is dense)
+    def group(code, width):
+        ids = np.nonzero(ptype[:n_obj] == code)[0].astype(np.int32)
+        k = _round_up(max(len(ids), 1), pad_to)
+        p = np.zeros((k, width), np.float32)
+        gi = np.full(k, -1, np.int32)
+        if len(ids):
+            p[: len(ids)] = params[ids, :width]
+            gi[: len(ids)] = ids
+        return p, gi, len(ids)
+
+    tri_p, tri_ids, n_tri = group(C.TRIANGLE, 12)
+    sph_p, sph_ids, n_sph = group(C.SPHERE, 4)
+    pl_p, pl_ids, n_pl = group(C.PLANE, 4)
+    box_p, box_ids, n_box = group(C.AABOX, 6)
+
     n_mat = max(1, len(sd.materials))
     mats = np.zeros((n_mat, 11), np.float32)
     for i, m in enumerate(sd.materials):
@@ -123,6 +139,11 @@ def build_scene(
             params=jnp.asarray(params),
             ptype=jnp.asarray(ptype),
             mat_id=jnp.asarray(mat_id),
+            tri_p=jnp.asarray(tri_p), tri_ids=jnp.asarray(tri_ids),
+            sph_p=jnp.asarray(sph_p), sph_ids=jnp.asarray(sph_ids),
+            pl_p=jnp.asarray(pl_p), pl_ids=jnp.asarray(pl_ids),
+            box_p=jnp.asarray(box_p), box_ids=jnp.asarray(box_ids),
+            n_tri=n_tri, n_sph=n_sph, n_pl=n_pl, n_box=n_box,
         ),
         materials=materials,
         lights=lights,

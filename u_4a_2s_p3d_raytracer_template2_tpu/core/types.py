@@ -69,16 +69,33 @@ class Lights:
     color: jnp.ndarray     # [L, 3]
 
 
-@pytree
+@pytree(meta=("n_tri", "n_sph", "n_pl", "n_box"))
 class Primitives:
-    """Unified SoA primitive table, padded to a static size.
+    """Unified SoA primitive table, padded to a static size, plus
+    type-grouped views for dense brute-force intersection.
 
-    Padding entries have ``ptype == INVALID`` and never intersect.
+    The unified table (``params``/``ptype``/``mat_id``) serves gather-style
+    access (BVH leaves, shade-time re-intersection). The per-type tables are
+    pre-gathered at build so the hot brute-force path runs each intersection
+    formula only over primitives of its own type — no type select, no wasted
+    lanes. ``*_ids`` map rows back to global object indices (-1 = padding).
     """
 
     params: jnp.ndarray  # [N, 12] f32
     ptype: jnp.ndarray   # [N] i32
     mat_id: jnp.ndarray  # [N] i32
+    tri_p: jnp.ndarray   # [Kt, 12] (v0, e1, e2, normal)
+    tri_ids: jnp.ndarray # [Kt]
+    sph_p: jnp.ndarray   # [Ks, 4]  (center, radius)
+    sph_ids: jnp.ndarray # [Ks]
+    pl_p: jnp.ndarray    # [Kp, 4]  (pn, d)
+    pl_ids: jnp.ndarray  # [Kp]
+    box_p: jnp.ndarray   # [Kb, 6]  (min, max)
+    box_ids: jnp.ndarray # [Kb]
+    n_tri: int = 0
+    n_sph: int = 0
+    n_pl: int = 0
+    n_box: int = 0
 
 
 @pytree(meta=("res_x", "res_y"))

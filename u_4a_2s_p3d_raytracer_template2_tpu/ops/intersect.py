@@ -120,40 +120,64 @@ def chunk_t(params, ptype, o, d):
     return t
 
 
-def closest_hit_brute(
-    prims: Primitives, rays: Rays, chunk: int = 1024
-) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Brute-force closest hit (accel NONE path, main.cpp:542-553).
+def _typed_min(fn, p, ids, o, d, chunk, carry):
+    """Fold one type-grouped table into the running (t_best, id_best).
 
-    Returns (t [R], obj_id [R]); obj_id == -1 on miss. Ties resolve to the
-    lowest object index, matching the reference's strict ``t < closest_t``
-    ascending scan.
+    Chunked with lax.scan to bound the [R, chunk] intermediate; within a
+    chunk argmin takes the first (lowest-index) minimum, matching the
+    reference's strict ``t < closest_t`` ascending scan.
     """
-    o, d = rays.origin, rays.direction
-    N = prims.params.shape[0]
-    chunk = min(chunk, N)
-    if N % chunk != 0:
-        chunk = N  # padded sizes are multiples of 8; fall back to one chunk
-    n_chunks = N // chunk
-    params = prims.params.reshape(n_chunks, chunk, 12)
-    ptype = prims.ptype.reshape(n_chunks, chunk)
+    K = p.shape[0]
+    c = min(chunk, K)
+    if K % c != 0:
+        c = K
+    n_chunks = K // c
+    p = p.reshape(n_chunks, c, p.shape[-1])
+    ids = ids.reshape(n_chunks, c)
 
-    R = o.shape[0]
-
-    def body(carry, inp):
-        t_best, id_best = carry
-        pchunk, tchunk, base = inp
-        t = chunk_t(pchunk, tchunk, o, d)              # [R, chunk]
-        idx = jnp.argmin(t, axis=-1)                   # first min within chunk
+    def body(car, inp):
+        t_best, id_best = car
+        pchunk, idchunk = inp
+        t = fn(pchunk, o, d)                              # [R, c]
+        t = jnp.where((idchunk >= 0)[None, :], t, C.BIG)  # mask padding
+        idx = jnp.argmin(t, axis=-1)
         t_min = jnp.take_along_axis(t, idx[:, None], axis=-1)[:, 0]
         better = t_min < t_best
         t_best = jnp.where(better, t_min, t_best)
-        id_best = jnp.where(better, base + idx.astype(jnp.int32), id_best)
+        id_best = jnp.where(better, idchunk[idx], id_best)
         return (t_best, id_best), None
 
-    init = (jnp.full((R,), C.BIG, jnp.float32), jnp.full((R,), -1, jnp.int32))
-    bases = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
-    (t_best, id_best), _ = jax.lax.scan(body, init, (params, ptype, bases))
+    if n_chunks == 1:
+        return body(carry, (p[0], ids[0]))[0]
+    carry, _ = jax.lax.scan(body, carry, (p, ids))
+    return carry
+
+
+def closest_hit_brute(
+    prims: Primitives, rays: Rays, chunk: int = 2048
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Brute-force closest hit (accel NONE path, main.cpp:542-553).
+
+    Runs each intersection formula only over its own type-grouped table —
+    dense VPU work with no type-select waste. Returns (t [R], obj_id [R]);
+    obj_id == -1 on miss. Ties within a type resolve to the lowest object
+    index; cross-type exact ties resolve by type order (tri, sphere, plane,
+    box) rather than parse order — a measure-zero divergence from the
+    reference's single ascending scan.
+    """
+    o, d = rays.origin, rays.direction
+    R = o.shape[0]
+    carry = (jnp.full((R,), C.BIG, jnp.float32), jnp.full((R,), -1, jnp.int32))
+    groups = [
+        (_triangle_t, prims.tri_p, prims.tri_ids, prims.n_tri),
+        (_sphere_t, prims.sph_p, prims.sph_ids, prims.n_sph),
+        (_plane_t, prims.pl_p, prims.pl_ids, prims.n_pl),
+        (_box_t, prims.box_p, prims.box_ids, prims.n_box),
+    ]
+    for fn, p, ids, n in groups:
+        if n > 0:
+            carry = _typed_min(fn, p, ids, o, d, chunk, carry)
+    t_best, id_best = carry
     id_best = jnp.where(t_best >= C.BIG, -1, id_best)
     return t_best, id_best
 
