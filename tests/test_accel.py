@@ -66,9 +66,11 @@ def test_traversal_matches_brute(accel):
         t, oid = grid_closest_hit(acc, scene.prims, rays)
     t, oid = np.asarray(t), np.asarray(oid)
     t_ref, id_ref = np.asarray(t_ref), np.asarray(id_ref)
-    # t must match everywhere; ids may differ only on exact-tie overlaps
+    # t must match everywhere (brute force uses the MXU Baldwin-Weber form,
+    # traversal the VPU Möller-Trumbore form — identical up to f32 rounding);
+    # ids may differ only on exact-tie overlaps
     np.testing.assert_allclose(np.minimum(t, 1e30), np.minimum(t_ref, 1e30),
-                               rtol=1e-5, atol=1e-5)
+                               rtol=1e-4, atol=1e-4)
     assert (oid == id_ref).mean() > 0.995
 
 

@@ -60,3 +60,56 @@ def test_balls_low_distribution_mode():
     assert cfg.anti_aliasing and cfg.depth_of_field and cfg.spp == 4
     assert scene.accel_type == C.ACCEL_BVH
     assert scene.bvh is not None
+
+
+def test_skybox_lookup_on_miss():
+    """BASELINE config #4: env cubemap lookup on miss. The shipped reference
+    never calls GetSkyboxColor from rayTracing (quirk #8); use_skybox=True
+    wires it in. Face conventions follow scene.cpp:383-461."""
+    import os
+
+    import jax
+
+    sky_dir = "/root/reference/P3D_RayTracer_Template2/skybox"
+    if not os.path.isdir(sky_dir):
+        pytest.skip("reference skybox not available")
+    sd = rt.parse_p3f(ref_scene_path("mount_low.p3f"))
+    sd.skybox_dir = sky_dir
+    scene = rt.build_scene(sd)
+    assert scene.has_skybox and scene.skybox.shape[0] == 6
+
+    from u_4a_2s_p3d_raytracer_template2_tpu.models.whitted import render_tile
+    import jax.numpy as jnp
+
+    # pixels in the sky region (top rows look above the mountain)
+    px = jnp.linspace(0, 511, 16)
+    py = jnp.full((16,), 500.0)
+    flat = np.asarray(render_tile(scene, px, py,
+                                  rt.RenderConfig(use_skybox=False),
+                                  jax.random.PRNGKey(0)))
+    sky = np.asarray(render_tile(scene, px, py,
+                                 rt.RenderConfig(use_skybox=True),
+                                 jax.random.PRNGKey(0)))
+    # flat-bg misses are the constant bclr; skybox misses vary per direction
+    miss = np.abs(flat - np.array([0.078, 0.361, 0.753])).max(-1) < 1e-4
+    assert miss.sum() >= 4
+    assert sky[miss].std(axis=0).max() > 0.01
+    assert not np.allclose(sky[miss], flat[miss])
+
+
+def test_skybox_color_directions():
+    """Dominant-axis cubemap indexing: +X maps to the LEFT face, -X to
+    RIGHT (scene.cpp:398), ±Y to TOP/BOTTOM, ±Z to FRONT/BACK."""
+    import jax.numpy as jnp
+    from u_4a_2s_p3d_raytracer_template2_tpu.ops.shade import skybox_color
+
+    # distinct constant-color faces
+    sky = np.zeros((6, 2, 2, 3), np.float32)
+    for i in range(6):
+        sky[i, :, :, 0] = (i + 1) / 6.0
+    d = jnp.asarray(np.array([
+        [1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0], [0, 0, 1], [0, 0, -1],
+    ], np.float32))
+    out = np.asarray(skybox_color(jnp.asarray(sky), d))[:, 0]
+    want = np.array([2, 1, 3, 4, 5, 6]) / 6.0  # LEFT,RIGHT,TOP,BOTTOM,FRONT,BACK
+    np.testing.assert_allclose(out, want, atol=1e-6)

@@ -131,3 +131,35 @@ def test_fuzzy_reflection_and_motion_blur_run():
     cfg = rt.RenderConfig(fuzzy_reflection=True, motion_blur=True)
     img = np.asarray(rt.render_image(scene, cfg, jax.random.PRNGKey(1)))
     assert np.isfinite(img).all()
+
+
+def test_camera_orbit_reframe():
+    """SetEye-equivalent orbit (camera.h:80-89): moving the eye re-derives a
+    valid orthonormal frame and changes the picture."""
+    from u_4a_2s_p3d_raytracer_template2_tpu.ops.camera import orbit_eye, with_eye
+    import dataclasses
+
+    sd = sphere_plane_scene(res=12)
+    scene = rt.build_scene(sd)
+    img0 = np.asarray(rt.render_image(scene, rt.RenderConfig()))
+
+    cam2 = with_eye(scene.camera, orbit_eye(scene.camera, 30.0, 20.0, 5.0))
+    u, v, n = np.asarray(cam2.u), np.asarray(cam2.v), np.asarray(cam2.n)
+    for a, b in [(u, v), (u, n), (v, n)]:
+        assert abs(float(a @ b)) < 1e-5
+    scene2 = dataclasses.replace(scene, camera=cam2)
+    img1 = np.asarray(rt.render_image(scene2, rt.RenderConfig()))
+    assert np.abs(img0 - img1).mean() > 0.01
+
+
+def test_random_scene_builder_renders():
+    """create_random_scene equivalent (scene.cpp:677-751): RTiOW field with
+    BVH accel; renders finite on a small raster."""
+    from u_4a_2s_p3d_raytracer_template2_tpu.models.scenes import random_scene
+
+    sd = random_scene(res_x=24, res_y=18)
+    scene = rt.build_scene(sd)
+    assert scene.accel_type == rt.constants.ACCEL_BVH and scene.bvh is not None
+    assert scene.n_objects > 80
+    img = np.asarray(rt.render_image(scene, rt.RenderConfig()))
+    assert np.isfinite(img).all() and img.std() > 0.02

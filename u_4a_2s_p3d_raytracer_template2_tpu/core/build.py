@@ -88,6 +88,13 @@ def build_scene(
     pl_p, pl_ids, n_pl = group(C.PLANE, 4)
     box_p, box_ids, n_box = group(C.AABOX, 6)
 
+    # MXU-ready tables (ops/mxu_intersect.py)
+    from ..ops.mxu_intersect import triangle_functionals
+
+    tri_mo, tri_md = triangle_functionals(tri_p)
+    sph_k = ((sph_p[:, 0:3] ** 2).sum(-1) - sph_p[:, 3] ** 2).astype(
+        np.float32)
+
     n_mat = max(1, len(sd.materials))
     mats = np.zeros((n_mat, 11), np.float32)
     for i, m in enumerate(sd.materials):
@@ -140,7 +147,9 @@ def build_scene(
             ptype=jnp.asarray(ptype),
             mat_id=jnp.asarray(mat_id),
             tri_p=jnp.asarray(tri_p), tri_ids=jnp.asarray(tri_ids),
+            tri_mo=jnp.asarray(tri_mo), tri_md=jnp.asarray(tri_md),
             sph_p=jnp.asarray(sph_p), sph_ids=jnp.asarray(sph_ids),
+            sph_k=jnp.asarray(sph_k),
             pl_p=jnp.asarray(pl_p), pl_ids=jnp.asarray(pl_ids),
             box_p=jnp.asarray(box_p), box_ids=jnp.asarray(box_ids),
             n_tri=n_tri, n_sph=n_sph, n_pl=n_pl, n_box=n_box,

@@ -86,8 +86,11 @@ class Primitives:
     mat_id: jnp.ndarray  # [N] i32
     tri_p: jnp.ndarray   # [Kt, 12] (v0, e1, e2, normal)
     tri_ids: jnp.ndarray # [Kt]
+    tri_mo: jnp.ndarray  # [3Kt, 4] Baldwin-Weber origin-side functionals
+    tri_md: jnp.ndarray  # [3Kt, 3] Baldwin-Weber direction-side functionals
     sph_p: jnp.ndarray   # [Ks, 4]  (center, radius)
     sph_ids: jnp.ndarray # [Ks]
+    sph_k: jnp.ndarray   # [Ks]     |c|² - r²
     pl_p: jnp.ndarray    # [Kp, 4]  (pn, d)
     pl_ids: jnp.ndarray  # [Kp]
     box_p: jnp.ndarray   # [Kb, 6]  (min, max)

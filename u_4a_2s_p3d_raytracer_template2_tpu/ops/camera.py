@@ -75,3 +75,34 @@ def primary_rays(cam: Camera, px, py, key=None, *,
         lens = sample_unit_disk(sub, px.shape) * cam.aperture
         return thin_lens_rays(cam, px, py, lens, time)
     return pinhole_rays(cam, px, py, time)
+
+
+def with_eye(cam: Camera, eye) -> Camera:
+    """Re-derive the uvn frame for a moved eye, keeping ``at`` implied by the
+    current frame and the original up vector — Camera::SetEye semantics
+    (camera.h:80-89) used by the reference's mouse-orbit viewer
+    (main.cpp:357-433). ``at`` is reconstructed as eye_old - n*plane_dist.
+    """
+    import dataclasses
+
+    eye = jnp.asarray(eye, jnp.float32)
+    at = cam.eye - cam.n * cam.plane_dist
+    # the original up is not stored; v still spans the up-ish direction
+    up = cam.v
+    n = eye - at
+    plane_dist = jnp.linalg.norm(n)
+    n = n / plane_dist
+    u = jnp.cross(up, n)
+    u = u / jnp.linalg.norm(u)
+    v = jnp.cross(n, u)
+    return dataclasses.replace(cam, eye=eye, u=u, v=v, n=n,
+                               plane_dist=plane_dist)
+
+
+def orbit_eye(cam: Camera, alpha_deg, beta_deg, radius) -> jnp.ndarray:
+    """Spherical-orbit camera position (main.cpp:419-421)."""
+    a = jnp.deg2rad(jnp.asarray(alpha_deg, jnp.float32))
+    b = jnp.deg2rad(jnp.asarray(beta_deg, jnp.float32))
+    return jnp.stack([radius * jnp.sin(a) * jnp.cos(b),
+                      radius * jnp.sin(b),
+                      radius * jnp.cos(a) * jnp.cos(b)])

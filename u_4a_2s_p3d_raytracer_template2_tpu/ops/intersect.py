@@ -165,21 +165,78 @@ def closest_hit_brute(
     box) rather than parse order — a measure-zero divergence from the
     reference's single ascending scan.
     """
+    from . import mxu_intersect as mxu
+
+    # Below this primitive count the [R, 3/4]x[3/4, K] matmul doesn't fill
+    # MXU lanes and the dense VPU formulas win (measured on v5e: mount's
+    # 8-triangle table runs ~5% faster on the VPU path).
+    MXU_MIN = 64
+
     o, d = rays.origin, rays.direction
     R = o.shape[0]
     carry = (jnp.full((R,), C.BIG, jnp.float32), jnp.full((R,), -1, jnp.int32))
-    groups = [
-        (_triangle_t, prims.tri_p, prims.tri_ids, prims.n_tri),
-        (_sphere_t, prims.sph_p, prims.sph_ids, prims.n_sph),
-        (_plane_t, prims.pl_p, prims.pl_ids, prims.n_pl),
-        (_box_t, prims.box_p, prims.box_ids, prims.n_box),
-    ]
-    for fn, p, ids, n in groups:
-        if n > 0:
-            carry = _typed_min(fn, p, ids, o, d, chunk, carry)
+    if prims.n_tri > 0:
+        if prims.tri_ids.shape[0] >= MXU_MIN:
+            carry = _typed_min_tables(
+                lambda mo, md, o_, d_: mxu.tri_t(mo, md, o_, d_),
+                (prims.tri_mo.reshape(-1, 3, 4),
+                 prims.tri_md.reshape(-1, 3, 3)),
+                prims.tri_ids, o, d, chunk, carry, tri=True)
+        else:
+            carry = _typed_min(_triangle_t, prims.tri_p, prims.tri_ids, o, d,
+                               chunk, carry)
+    if prims.n_sph > 0:
+        if prims.sph_ids.shape[0] >= MXU_MIN:
+            carry = _typed_min_tables(
+                lambda cs, ks, o_, d_: mxu.sphere_t(cs, ks, o_, d_),
+                (prims.sph_p[:, 0:3], prims.sph_k),
+                prims.sph_ids, o, d, chunk, carry)
+        else:
+            carry = _typed_min(_sphere_t, prims.sph_p, prims.sph_ids, o, d,
+                               chunk, carry)
+    if prims.n_pl > 0:
+        carry = _typed_min(_plane_t, prims.pl_p, prims.pl_ids, o, d, chunk,
+                           carry)
+    if prims.n_box > 0:
+        carry = _typed_min(_box_t, prims.box_p, prims.box_ids, o, d, chunk,
+                           carry)
     t_best, id_best = carry
     id_best = jnp.where(t_best >= C.BIG, -1, id_best)
     return t_best, id_best
+
+
+def _typed_min_tables(fn, tables, ids, o, d, chunk, carry, tri=False):
+    """Like _typed_min but over a pair of per-type tables feeding an MXU
+    kernel. ``tables`` rows chunk along the primitive axis."""
+    a, b = tables
+    K = ids.shape[0]
+    c = min(chunk, K)
+    if K % c != 0:
+        c = K
+    n_chunks = K // c
+    a = a.reshape((n_chunks, c) + a.shape[1:])
+    b = b.reshape((n_chunks, c) + b.shape[1:])
+    ids_c = ids.reshape(n_chunks, c)
+
+    def body(car, inp):
+        t_best, id_best = car
+        ac, bc, idchunk = inp
+        if tri:
+            t = fn(ac.reshape(-1, 4), bc.reshape(-1, 3), o, d)
+        else:
+            t = fn(ac, bc, o, d)
+        t = jnp.where((idchunk >= 0)[None, :], t, C.BIG)
+        idx = jnp.argmin(t, axis=-1)
+        t_min = jnp.take_along_axis(t, idx[:, None], axis=-1)[:, 0]
+        better = t_min < t_best
+        t_best = jnp.where(better, t_min, t_best)
+        id_best = jnp.where(better, idchunk[idx], id_best)
+        return (t_best, id_best), None
+
+    if n_chunks == 1:
+        return body(carry, (a[0], b[0], ids_c[0]))[0]
+    carry, _ = jax.lax.scan(body, carry, (a, b, ids_c))
+    return carry
 
 
 def any_hit_brute(
