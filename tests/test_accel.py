@@ -128,3 +128,29 @@ def test_native_builders_match_numpy():
         ci_p = ci_p
     ci_p = np.sort(ci_p, axis=1)
     np.testing.assert_array_equal(ci_n, ci_p[:, :ci_n.shape[1]] if ci_p.shape[1] >= ci_n.shape[1] else ci_p)
+
+
+def test_clustered_tracer_matches_brute_large():
+    """Tile-coherent clustered tracer (accel/clusters.py) vs brute force on
+    a multi-cluster sphere+triangle scene."""
+    from u_4a_2s_p3d_raytracer_template2_tpu.accel.clusters import (
+        build_clusters,
+        clustered_closest_hit,
+    )
+    from u_4a_2s_p3d_raytracer_template2_tpu.accel.bvh import build_bvh
+
+    sd = random_sphere_soup(n=300, seed=11)
+    scene = rt.build_scene(sd, accel=rt.constants.ACCEL_NONE)
+    params = np.asarray(scene.prims.params)
+    ptype = np.asarray(scene.prims.ptype)
+    bvh = build_bvh(params, ptype)
+    ct = build_clusters(params, ptype, np.asarray(bvh.order))
+    assert ct.n_sph_clusters >= 2  # multi-cluster
+
+    rays = make_rays(n=500, seed=5)
+    t_ref, id_ref = closest_hit_brute(scene.prims, rays)
+    t, oid = clustered_closest_hit(ct, scene.prims, rays, tile=128)
+    np.testing.assert_allclose(np.minimum(np.asarray(t), 1e30),
+                               np.minimum(np.asarray(t_ref), 1e30),
+                               rtol=1e-4, atol=1e-4)
+    assert (np.asarray(oid) == np.asarray(id_ref)).mean() > 0.995

@@ -26,6 +26,16 @@ from ..core.types import BvhArrays
 
 THRESHOLD = 2  # leaf size (rayAccelerator.h:72)
 
+# Host-side copy of the most recent build's sorted object order. Device->host
+# readback through a remote-TPU tunnel is pathologically slow (~20 KB/s), so
+# consumers that need the order on host (cluster building) read it from here
+# instead of round-tripping bvh.order.
+_last_host_order = None
+
+
+def last_host_order():
+    return _last_host_order
+
 
 def object_bounds(params: np.ndarray, ptype: np.ndarray):
     """AABB per object: [N,3] min / max.
@@ -33,25 +43,27 @@ def object_bounds(params: np.ndarray, ptype: np.ndarray):
     triangle boxes are ε-padded like the Triangle ctor (scene.cpp:37-39).
     """
     n = params.shape[0]
-    bmin = np.zeros((n, 3), np.float32)
-    bmax = np.zeros((n, 3), np.float32)
-    for i in range(n):
-        p = params[i]
-        t = ptype[i]
-        if t == C.SPHERE:
-            c, r = p[0:3], p[3]
-            bmin[i], bmax[i] = c - r, c + r
-        elif t == C.TRIANGLE:
-            v0 = p[0:3]
-            v1 = v0 + p[3:6]
-            v2 = v0 + p[6:9]
-            bmin[i] = np.minimum(np.minimum(v0, v1), v2) - C.EPSILON
-            bmax[i] = np.maximum(np.maximum(v0, v1), v2) + C.EPSILON
-        elif t == C.AABOX:
-            bmin[i], bmax[i] = p[0:3], p[3:6]
-        else:  # plane or invalid: unbounded
-            bmin[i] = -np.inf
-            bmax[i] = np.inf
+    params = np.asarray(params, np.float32)
+    ptype = np.asarray(ptype)
+    bmin = np.full((n, 3), -np.inf, np.float32)  # plane/invalid: unbounded
+    bmax = np.full((n, 3), np.inf, np.float32)
+
+    t = ptype[:, None]
+    c = params[:, 0:3]
+    r = params[:, 3:4]
+    bmin = np.where(t == C.SPHERE, c - r, bmin)
+    bmax = np.where(t == C.SPHERE, c + r, bmax)
+
+    v0 = params[:, 0:3]
+    v1 = v0 + params[:, 3:6]
+    v2 = v0 + params[:, 6:9]
+    tmin = np.minimum(np.minimum(v0, v1), v2) - C.EPSILON
+    tmax = np.maximum(np.maximum(v0, v1), v2) + C.EPSILON
+    bmin = np.where(t == C.TRIANGLE, tmin, bmin)
+    bmax = np.where(t == C.TRIANGLE, tmax, bmax)
+
+    bmin = np.where(t == C.AABOX, params[:, 0:3], bmin)
+    bmax = np.where(t == C.AABOX, params[:, 3:6], bmax)
     return bmin, bmax
 
 
@@ -195,6 +207,8 @@ def build_bvh(params: np.ndarray, ptype: np.ndarray,
 
 def _pack(sorted_order, unbounded, nodes_min, nodes_max, nodes_leaf,
           nodes_index, nodes_nobj, n) -> BvhArrays:
+    global _last_host_order
+    _last_host_order = np.asarray(sorted_order, np.int32)
     k = max(1, len(nodes_min))
     pad_k = max(8, ((k + 7) // 8) * 8)
     arr_min = np.zeros((pad_k, 3), np.float32)

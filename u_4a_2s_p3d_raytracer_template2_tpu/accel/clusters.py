@@ -1,0 +1,290 @@
+"""Tile-coherent clustered tracing — the TPU-native acceleration structure.
+
+A per-ray BVH walk (bvh.cpp:252-346) is pointer-chasing and divergence;
+neither maps to TPU vector units. The TPU-native equivalent exploits ray
+coherence instead:
+
+  1. Primitives are grouped into fixed-size *clusters* (treelets) along the
+     BVH build's spatially-sorted object order (bvh.cpp:55 — the reference
+     already stores this order); each cluster carries a union AABB and an
+     MXU-ready dense table (ops/mxu_intersect.py layout).
+  2. Rays trace in tiles. Per tile, a cheap [tile, C] slab pass marks which
+     cluster boxes any ray in the tile enters — a conservative per-tile
+     worklist (coherent tiles touch few clusters).
+  3. A ``while_loop`` sweeps worklist rounds: each round gathers the next W
+     clusters per tile and runs batched [tile,4]x[4,3·cluster] MXU matmuls.
+     The loop ends at the *maximum* worklist length over tiles, so coherent
+     workloads do a small fraction of the brute-force work while incoherent
+     ones degrade gracefully to it. Exact: a cluster a ray could hit is
+     always in its tile's worklist.
+
+This replaces the wavefront-BVH Pallas plan of SURVEY.md §7 item (a) with a
+shape that keeps the FLOPs on the MXU and the control flow compiler-friendly.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..core import constants as C
+from ..core.types import Primitives, Rays, pytree
+from ..ops import mxu_intersect as mxu
+from ..ops.intersect import _box_t, _plane_t, _safe_inv, _typed_min
+from .bvh import object_bounds
+
+CLUSTER = 128  # primitives per cluster; one MXU lane block
+
+
+@pytree(meta=("n_tri_clusters", "n_sph_clusters"))
+class ClusterTables:
+    # triangles
+    tri_mo: jnp.ndarray     # [Ct, 3*CLUSTER, 4]
+    tri_md: jnp.ndarray     # [Ct, 3*CLUSTER, 3]
+    tri_ids: jnp.ndarray    # [Ct, CLUSTER] global object ids, -1 pad
+    tri_bmin: jnp.ndarray   # [Ct, 3]
+    tri_bmax: jnp.ndarray   # [Ct, 3]
+    # spheres
+    sph_c: jnp.ndarray      # [Cs, CLUSTER, 3]
+    sph_k: jnp.ndarray      # [Cs, CLUSTER]
+    sph_ids: jnp.ndarray    # [Cs, CLUSTER]
+    sph_bmin: jnp.ndarray   # [Cs, 3]
+    sph_bmax: jnp.ndarray   # [Cs, 3]
+    n_tri_clusters: int = 0
+    n_sph_clusters: int = 0
+
+
+def build_clusters(params: np.ndarray, ptype: np.ndarray,
+                   sorted_order: np.ndarray) -> ClusterTables:
+    """Group the BVH-sorted bounded objects into per-type clusters."""
+    bmin, bmax = object_bounds(params, ptype)
+
+    def per_type(code):
+        ids = np.asarray(
+            [i for i in sorted_order if i >= 0 and ptype[i] == code],
+            np.int32)
+        n = len(ids)
+        nc = max(0, (n + CLUSTER - 1) // CLUSTER)
+        pad = nc * CLUSTER
+        out_ids = np.full((max(nc, 1), CLUSTER), -1, np.int32)
+        if n:
+            out_ids.reshape(-1)[:n] = ids
+        cb_min = np.full((max(nc, 1), 3), 1e30, np.float32)
+        cb_max = np.full((max(nc, 1), 3), -1e30, np.float32)
+        for c in range(nc):
+            sel = out_ids[c][out_ids[c] >= 0]
+            if len(sel):
+                cb_min[c] = bmin[sel].min(0)
+                cb_max[c] = bmax[sel].max(0)
+        return out_ids, cb_min, cb_max, nc
+
+    tri_ids, tri_bmin, tri_bmax, nct = per_type(C.TRIANGLE)
+    sph_ids, sph_bmin, sph_bmax, ncs = per_type(C.SPHERE)
+
+    # dense MXU tables per cluster (zero rows never hit)
+    def tri_tables(ids2d):
+        from ..ops.mxu_intersect import triangle_functionals
+
+        flat = ids2d.reshape(-1)
+        p = np.zeros((flat.size, 12), np.float32)
+        ok = flat >= 0
+        p[ok] = params[flat[ok]]
+        mo, md = triangle_functionals(p)
+        ct = ids2d.shape[0]
+        return (mo.reshape(ct, 3 * CLUSTER, 4),
+                md.reshape(ct, 3 * CLUSTER, 3))
+
+    def sph_tables(ids2d):
+        flat = ids2d.reshape(-1)
+        p = np.zeros((flat.size, 4), np.float32)
+        ok = flat >= 0
+        p[ok] = params[flat[ok], :4]
+        c = p[:, 0:3]
+        # padded rows: center 0, radius 0 -> k = 0; quadratic delta <= 0
+        # except rays through the origin — mask by ids in the trace.
+        k = (c * c).sum(-1) - p[:, 3] ** 2
+        ct = ids2d.shape[0]
+        return (c.reshape(ct, CLUSTER, 3).astype(np.float32),
+                k.reshape(ct, CLUSTER).astype(np.float32))
+
+    tri_mo, tri_md = tri_tables(tri_ids)
+    sph_c, sph_k = sph_tables(sph_ids)
+
+    return ClusterTables(
+        tri_mo=jnp.asarray(tri_mo), tri_md=jnp.asarray(tri_md),
+        tri_ids=jnp.asarray(tri_ids),
+        tri_bmin=jnp.asarray(tri_bmin), tri_bmax=jnp.asarray(tri_bmax),
+        sph_c=jnp.asarray(sph_c), sph_k=jnp.asarray(sph_k),
+        sph_ids=jnp.asarray(sph_ids),
+        sph_bmin=jnp.asarray(sph_bmin), sph_bmax=jnp.asarray(sph_bmax),
+        n_tri_clusters=nct, n_sph_clusters=ncs,
+    )
+
+
+# ---------------------------------------------------------------------------
+# tracing
+
+
+def _cluster_slab(bmin, bmax, o, d):
+    """[R, Cc] conservative hit mask for cluster AABBs."""
+    inv = _safe_inv(d)[:, None, :]
+    lo = (bmin[None, :, :] - o[:, None, :]) * inv
+    hi = (bmax[None, :, :] - o[:, None, :]) * inv
+    tmin = jnp.minimum(lo, hi)
+    tmax = jnp.maximum(lo, hi)
+    t0 = jnp.max(tmin, -1)
+    t1 = jnp.min(tmax, -1)
+    return (t0 <= t1) & (t1 > 0.0)
+
+
+ROUND_W = 8  # clusters fetched per while-loop round (amortizes loop overhead)
+
+
+def _sweep_type(kernel, tables, ids2d, bmin, bmax, o_t, d_t, carry):
+    """One type's clustered sweep.
+
+    o_t, d_t: [T, tile, 3]; carry: (t_best [T,tile], id_best [T,tile]).
+    Each round gathers ROUND_W clusters per tile (padding repeats the first
+    worklist entry; correctness is unaffected — extra tests only shrink t).
+    """
+    T, tile, _ = o_t.shape
+    Cc = ids2d.shape[0]
+    W = min(ROUND_W, Cc)
+
+    hit = _cluster_slab(bmin, bmax, o_t.reshape(-1, 3), d_t.reshape(-1, 3))
+    hit = hit.reshape(T, tile, Cc).any(axis=1)          # [T, Cc]
+    counts = hit.sum(axis=1)                            # [T]
+    # stable partition: worklist = hit clusters first, in cluster order
+    wl = jnp.argsort(~hit, axis=1, stable=True).astype(jnp.int32)  # [T, Cc]
+    n_rounds = (jnp.max(counts) + W - 1) // W
+
+    def round_body(state):
+        r, t_best, id_best = state
+        w0 = r * W
+        idx = jnp.clip(w0 + jnp.arange(W, dtype=jnp.int32), 0, Cc - 1)
+        cid = wl[:, idx]                                # [T, W] (may repeat)
+        act = ((w0 + jnp.arange(W, dtype=jnp.int32))[None, :]
+               < counts[:, None])                       # [T, W]
+        t, pid = kernel(tables, ids2d, cid, act, o_t, d_t)
+        better = t < t_best
+        t_best = jnp.where(better, t, t_best)
+        id_best = jnp.where(better, pid, id_best)
+        return (r + 1, t_best, id_best)
+
+    def round_cond(state):
+        return state[0] < n_rounds
+
+    t_best, id_best = carry
+    _, t_best, id_best = jax.lax.while_loop(
+        round_cond, round_body, (jnp.int32(0), t_best, id_best))
+    return (t_best, id_best)
+
+
+def _tri_kernel(tables, ids2d, cid, act, o_t, d_t):
+    """cid: [T, W] cluster ids. Tests W·CLUSTER triangles per tile.
+
+    Out-of-worklist (repeated) clusters are tested redundantly rather than
+    masked — the slab test is conservative, so extra tests can only re-find
+    valid hits; correctness is unaffected and masking would cost more than
+    the waste.
+    """
+    tri_mo, tri_md = tables
+    T, tile, _ = o_t.shape
+    W = cid.shape[1]
+    mo = tri_mo[cid].reshape(T, -1, 4)                  # [T, W*3K, 4]
+    md = tri_md[cid].reshape(T, -1, 3)                  # [T, W*3K, 3]
+    ids = ids2d[cid].reshape(T, -1)                     # [T, W*K]
+    K = ids.shape[1]
+    o4 = jnp.concatenate(
+        [o_t, jnp.ones(o_t.shape[:-1] + (1,), o_t.dtype)], -1)
+    s_o = jnp.einsum("tra,tfa->trf", o4, mo,
+                     precision=mxu._PREC).reshape(T, tile, K, 3)
+    s_d = jnp.einsum("tra,tfa->trf", d_t, md,
+                     precision=mxu._PREC).reshape(T, tile, K, 3)
+    den = s_d[..., 0]
+    ok = jnp.abs(den) > C.EPSILON
+    invden = 1.0 / jnp.where(ok, den, 1.0)
+    t = -s_o[..., 0] * invden
+    u = s_o[..., 1] + t * s_d[..., 1]
+    v = s_o[..., 2] + t * s_d[..., 2]
+    ok &= (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
+    ok &= (t > C.EPSILON) & (ids[:, None, :] >= 0)
+    t = jnp.where(ok, t, C.BIG)                         # [T, tile, K]
+    idx = jnp.argmin(t, axis=-1)
+    tb = jnp.take_along_axis(t, idx[..., None], -1)[..., 0]
+    pid = jnp.take_along_axis(
+        jnp.broadcast_to(ids[:, None, :], t.shape[:2] + (K,)),
+        idx[..., None], -1)[..., 0]
+    return tb, jnp.where(tb < C.BIG, pid, -1)
+
+
+def _sph_kernel(tables, ids2d, cid, act, o_t, d_t):
+    sph_c, sph_k = tables
+    T, tile, _ = o_t.shape
+    cc = sph_c[cid].reshape(T, -1, 3)                   # [T, W*K, 3]
+    kk = sph_k[cid].reshape(T, -1)                      # [T, W*K]
+    ids = ids2d[cid].reshape(T, -1)
+    K = ids.shape[1]
+    oc = jnp.einsum("trc,tkc->trk", o_t, cc, precision=mxu._PREC)
+    dc = jnp.einsum("trc,tkc->trk", d_t, cc, precision=mxu._PREC)
+    a = jnp.sum(d_t * d_t, -1)[..., None]
+    do = jnp.sum(d_t * o_t, -1)[..., None]
+    oo = jnp.sum(o_t * o_t, -1)[..., None]
+    b = 2.0 * (do - dc)
+    ccoef = oo - 2.0 * oc + kk[:, None, :]
+    delta = b * b - 4.0 * a * ccoef
+    pos = delta > 0.0
+    sq = jnp.where(pos, jnp.sqrt(jnp.where(pos, delta, 1.0)), 0.0)
+    inv2a = 0.5 / a
+    t0 = (-b - sq) * inv2a
+    t1 = (-b + sq) * inv2a
+    lo, hi = jnp.minimum(t0, t1), jnp.maximum(t0, t1)
+    t = jnp.where(lo < 0.0, hi, lo)
+    ok = (delta >= 0.0) & (t >= 0.0) & (ids[:, None, :] >= 0)
+    t = jnp.where(ok, t, C.BIG)
+    idx = jnp.argmin(t, axis=-1)
+    tb = jnp.take_along_axis(t, idx[..., None], -1)[..., 0]
+    pid = jnp.take_along_axis(
+        jnp.broadcast_to(ids[:, None, :], t.shape[:2] + (K,)),
+        idx[..., None], -1)[..., 0]
+    return tb, jnp.where(tb < C.BIG, pid, -1)
+
+
+def clustered_closest_hit(ct: ClusterTables, prims: Primitives, rays: Rays,
+                          tile: int = 1024):
+    """Closest hit via tile-coherent cluster sweeps + dense planes/boxes."""
+    o, d = rays.origin, rays.direction
+    R = o.shape[0]
+    pad = (-R) % tile
+    if pad:
+        o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
+        d = jnp.concatenate(
+            [d, jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], d.dtype),
+                                 (pad, 3))])
+    T = o.shape[0] // tile
+    o_t = o.reshape(T, tile, 3)
+    d_t = d.reshape(T, tile, 3)
+
+    carry = (jnp.full((T, tile), C.BIG, jnp.float32),
+             jnp.full((T, tile), -1, jnp.int32))
+    if ct.n_tri_clusters > 0:
+        carry = _sweep_type(_tri_kernel, (ct.tri_mo, ct.tri_md), ct.tri_ids,
+                            ct.tri_bmin, ct.tri_bmax, o_t, d_t, carry)
+    if ct.n_sph_clusters > 0:
+        carry = _sweep_type(_sph_kernel, (ct.sph_c, ct.sph_k), ct.sph_ids,
+                            ct.sph_bmin, ct.sph_bmax, o_t, d_t, carry)
+
+    t_best = carry[0].reshape(-1)[:R]
+    id_best = carry[1].reshape(-1)[:R]
+
+    # planes and boxes are few: dense sweep on the original ray batch
+    carry2 = (t_best, id_best)
+    if prims.n_pl > 0:
+        carry2 = _typed_min(_plane_t, prims.pl_p, prims.pl_ids,
+                            rays.origin, rays.direction, 2048, carry2)
+    if prims.n_box > 0:
+        carry2 = _typed_min(_box_t, prims.box_p, prims.box_ids,
+                            rays.origin, rays.direction, 2048, carry2)
+    t_best, id_best = carry2
+    return t_best, jnp.where(t_best >= C.BIG, -1, id_best)

@@ -72,7 +72,7 @@ def cmd_render(args):
 
     enable_compilation_cache()
 
-    from .io.image import save_png
+    from .io.image import save_png, to_u8_device
     from .models.whitted import render_image
 
     scene = _build_scene(args)
@@ -84,15 +84,19 @@ def cmd_render(args):
           f"{scene.n_lights} lights, accel={scene.accel_type}")
 
     t0 = time.perf_counter()
-    img = render_image(scene, cfg, key, tile_rows=args.tile_rows)
-    img = np.asarray(img)
+    img_dev = render_image(scene, cfg, key, tile_rows=args.tile_rows)
+    import jax as _jax
+
+    _jax.block_until_ready(img_dev)
     dt_total = time.perf_counter() - t0
 
     # steady-state timing, compile excluded (first call pays jit compile)
     t0 = time.perf_counter()
     img2 = render_image(scene, cfg, key, tile_rows=args.tile_rows)
-    np.asarray(img2)
+    _jax.block_until_ready(img2)
     dt = time.perf_counter() - t0
+    # quantize on device: device->host readback may be very slow (tunnels)
+    img = np.asarray(to_u8_device(img_dev))
 
     n_pix = cam.res_x * cam.res_y
     spp = max(cfg.spp, 1) ** 2 if cfg.anti_aliasing else 1

@@ -121,11 +121,17 @@ def build_scene(
 
     accel_type = sd.accel_type if accel is None else accel
 
-    bvh = grid = None
+    bvh = grid = clusters = None
     if accel_type == C.ACCEL_BVH and n_obj > 0:
-        from ..accel.bvh import build_bvh
+        from ..accel.bvh import build_bvh, last_host_order
+        from ..accel.clusters import build_clusters
 
         bvh = build_bvh(params[:n_obj], ptype[:n_obj])
+        # tile-coherent clusters along the BVH-sorted order: the TPU-native
+        # traversal path (accel/clusters.py). The order comes from the
+        # builder's host-side stash — never read back from the device.
+        clusters = build_clusters(params[:n_obj], ptype[:n_obj],
+                                  last_host_order())
     elif accel_type == C.ACCEL_GRID and n_obj > 0:
         from ..accel.grid import build_grid
 
@@ -161,6 +167,7 @@ def build_scene(
         skybox=skybox,
         bvh=bvh,
         grid=grid,
+        clusters=clusters,
         accel_type=int(accel_type),
         spp=int(sd.spp),
         has_skybox=has_skybox,

@@ -172,6 +172,7 @@ class Scene:
     skybox: jnp.ndarray             # [6, H, W, 3] f32 (dummy [6,1,1,3] if absent)
     bvh: Optional[BvhArrays]
     grid: Optional[GridArrays]
+    clusters: Optional[Any]         # accel.clusters.ClusterTables
     accel_type: int = C.ACCEL_NONE
     spp: int = 0
     has_skybox: bool = False

@@ -20,12 +20,23 @@ def float_from_u8(x: np.ndarray) -> np.ndarray:
     return np.asarray(x, np.float32) / 255.99
 
 
+def to_u8_device(image):
+    """u8fromfloat on device — transfer 4x less through slow device->host
+    links (the remote-TPU tunnel reads back at ~20 KB/s)."""
+    import jax.numpy as jnp
+
+    v = jnp.asarray(image) * 255.99
+    return jnp.clip(v, 0.0, 255.0).astype(jnp.uint8)
+
+
 def save_png(path: str, image) -> None:
-    """image: [H, W, 3] float in [0,1], row 0 = bottom."""
+    """image: [H, W, 3] float in [0,1] (or uint8), row 0 = bottom."""
     from PIL import Image
 
-    arr = u8_from_float(np.asarray(image))[::-1]
-    Image.fromarray(arr, "RGB").save(path)
+    arr = np.asarray(image)
+    if arr.dtype != np.uint8:
+        arr = u8_from_float(arr)
+    Image.fromarray(arr[::-1], "RGB").save(path)
 
 
 def load_png(path: str) -> np.ndarray:

@@ -47,10 +47,10 @@ def trace_closest(scene: Scene, rays: Rays):
     t differentiably from the gathered winner primitive (see whitted level
     step below), mirroring the custom-VJP split of SURVEY.md §7.
     """
-    if scene.accel_type == C.ACCEL_BVH and scene.bvh is not None:
-        from ..accel.traverse import bvh_closest_hit
+    if scene.accel_type == C.ACCEL_BVH and scene.clusters is not None:
+        from ..accel.clusters import clustered_closest_hit
 
-        return bvh_closest_hit(scene.bvh, scene.prims, rays)
+        return clustered_closest_hit(scene.clusters, scene.prims, rays)
     if scene.accel_type == C.ACCEL_GRID and scene.grid is not None:
         from ..accel.traverse import grid_closest_hit
 
@@ -60,10 +60,11 @@ def trace_closest(scene: Scene, rays: Rays):
 
 def trace_shadow(scene: Scene, rays: Rays, max_t):
     """Any-hit occlusion via the scene's accelerator."""
-    if scene.accel_type == C.ACCEL_BVH and scene.bvh is not None:
-        from ..accel.traverse import bvh_any_hit
+    if scene.accel_type == C.ACCEL_BVH and scene.clusters is not None:
+        from ..accel.clusters import clustered_closest_hit
 
-        return bvh_any_hit(scene.bvh, scene.prims, rays, max_t)
+        t, _ = clustered_closest_hit(scene.clusters, scene.prims, rays)
+        return t < max_t
     if scene.accel_type == C.ACCEL_GRID and scene.grid is not None:
         from ..accel.traverse import grid_any_hit
 
