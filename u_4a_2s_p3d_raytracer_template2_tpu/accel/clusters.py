@@ -192,62 +192,89 @@ def _tri_kernel(tables, ids2d, cid, act, o_t, d_t):
     tri_mo, tri_md = tables
     T, tile, _ = o_t.shape
     W = cid.shape[1]
-    mo = tri_mo[cid].reshape(T, -1, 4)                  # [T, W*3K, 4]
-    md = tri_md[cid].reshape(T, -1, 3)                  # [T, W*3K, 3]
-    ids = ids2d[cid].reshape(T, -1)                     # [T, W*K]
-    K = ids.shape[1]
+    mo = tri_mo[cid]                                    # [T, W, 3K, 4]
+    md = tri_md[cid]                                    # [T, W, 3K, 3]
+    ids = ids2d[cid]                                    # [T, W, K]
     o4 = jnp.concatenate(
         [o_t, jnp.ones(o_t.shape[:-1] + (1,), o_t.dtype)], -1)
-    s_o = jnp.einsum("tra,tfa->trf", o4, mo,
-                     precision=mxu._PREC).reshape(T, tile, K, 3)
-    s_d = jnp.einsum("tra,tfa->trf", d_t, md,
-                     precision=mxu._PREC).reshape(T, tile, K, 3)
-    den = s_d[..., 0]
-    ok = jnp.abs(den) > C.EPSILON
-    invden = 1.0 / jnp.where(ok, den, 1.0)
-    t = -s_o[..., 0] * invden
-    u = s_o[..., 1] + t * s_d[..., 1]
-    v = s_o[..., 2] + t * s_d[..., 2]
-    ok &= (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
-    ok &= (t > C.EPSILON) & (ids[:, None, :] >= 0)
-    t = jnp.where(ok, t, C.BIG)                         # [T, tile, K]
-    idx = jnp.argmin(t, axis=-1)
-    tb = jnp.take_along_axis(t, idx[..., None], -1)[..., 0]
-    pid = jnp.take_along_axis(
-        jnp.broadcast_to(ids[:, None, :], t.shape[:2] + (K,)),
-        idx[..., None], -1)[..., 0]
+
+    def one_cluster(carry, inp):
+        # intermediates capped at one cluster's width: [T, tile, K]
+        mo_w, md_w, ids_w = inp
+        tb, pb = carry
+        K = ids_w.shape[1]
+        s_o = jnp.einsum("tra,tfa->trf", o4, mo_w,
+                         precision=mxu._PREC).reshape(T, tile, K, 3)
+        s_d = jnp.einsum("tra,tfa->trf", d_t, md_w,
+                         precision=mxu._PREC).reshape(T, tile, K, 3)
+        den = s_d[..., 0]
+        ok = jnp.abs(den) > C.EPSILON
+        invden = 1.0 / jnp.where(ok, den, 1.0)
+        t = -s_o[..., 0] * invden
+        u = s_o[..., 1] + t * s_d[..., 1]
+        v = s_o[..., 2] + t * s_d[..., 2]
+        ok &= (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
+        ok &= (t > C.EPSILON) & (ids_w[:, None, :] >= 0)
+        t = jnp.where(ok, t, C.BIG)                     # [T, tile, K]
+        idx = jnp.argmin(t, axis=-1)
+        tc = jnp.take_along_axis(t, idx[..., None], -1)[..., 0]
+        pc = jnp.take_along_axis(
+            jnp.broadcast_to(ids_w[:, None, :], t.shape),
+            idx[..., None], -1)[..., 0]
+        better = tc < tb
+        return (jnp.where(better, tc, tb),
+                jnp.where(better, pc, pb)), None
+
+    init = (jnp.full((T, tile), C.BIG, jnp.float32),
+            jnp.full((T, tile), -1, jnp.int32))
+    (tb, pid), _ = jax.lax.scan(
+        one_cluster, init,
+        (mo.swapaxes(0, 1), md.swapaxes(0, 1), ids.swapaxes(0, 1)))
     return tb, jnp.where(tb < C.BIG, pid, -1)
 
 
 def _sph_kernel(tables, ids2d, cid, act, o_t, d_t):
     sph_c, sph_k = tables
     T, tile, _ = o_t.shape
-    cc = sph_c[cid].reshape(T, -1, 3)                   # [T, W*K, 3]
-    kk = sph_k[cid].reshape(T, -1)                      # [T, W*K]
-    ids = ids2d[cid].reshape(T, -1)
-    K = ids.shape[1]
-    oc = jnp.einsum("trc,tkc->trk", o_t, cc, precision=mxu._PREC)
-    dc = jnp.einsum("trc,tkc->trk", d_t, cc, precision=mxu._PREC)
+    cc_all = sph_c[cid]                                 # [T, W, K, 3]
+    kk_all = sph_k[cid]                                 # [T, W, K]
+    ids_all = ids2d[cid]                                # [T, W, K]
     a = jnp.sum(d_t * d_t, -1)[..., None]
     do = jnp.sum(d_t * o_t, -1)[..., None]
     oo = jnp.sum(o_t * o_t, -1)[..., None]
-    b = 2.0 * (do - dc)
-    ccoef = oo - 2.0 * oc + kk[:, None, :]
-    delta = b * b - 4.0 * a * ccoef
-    pos = delta > 0.0
-    sq = jnp.where(pos, jnp.sqrt(jnp.where(pos, delta, 1.0)), 0.0)
     inv2a = 0.5 / a
-    t0 = (-b - sq) * inv2a
-    t1 = (-b + sq) * inv2a
-    lo, hi = jnp.minimum(t0, t1), jnp.maximum(t0, t1)
-    t = jnp.where(lo < 0.0, hi, lo)
-    ok = (delta >= 0.0) & (t >= 0.0) & (ids[:, None, :] >= 0)
-    t = jnp.where(ok, t, C.BIG)
-    idx = jnp.argmin(t, axis=-1)
-    tb = jnp.take_along_axis(t, idx[..., None], -1)[..., 0]
-    pid = jnp.take_along_axis(
-        jnp.broadcast_to(ids[:, None, :], t.shape[:2] + (K,)),
-        idx[..., None], -1)[..., 0]
+
+    def one_cluster(carry, inp):
+        cc, kk, ids = inp                               # [T,K,3],[T,K],[T,K]
+        tb, pb = carry
+        oc = jnp.einsum("trc,tkc->trk", o_t, cc, precision=mxu._PREC)
+        dc = jnp.einsum("trc,tkc->trk", d_t, cc, precision=mxu._PREC)
+        b = 2.0 * (do - dc)
+        ccoef = oo - 2.0 * oc + kk[:, None, :]
+        delta = b * b - 4.0 * a * ccoef
+        pos = delta > 0.0
+        sq = jnp.where(pos, jnp.sqrt(jnp.where(pos, delta, 1.0)), 0.0)
+        t0 = (-b - sq) * inv2a
+        t1 = (-b + sq) * inv2a
+        lo, hi = jnp.minimum(t0, t1), jnp.maximum(t0, t1)
+        t = jnp.where(lo < 0.0, hi, lo)
+        ok = (delta >= 0.0) & (t >= 0.0) & (ids[:, None, :] >= 0)
+        t = jnp.where(ok, t, C.BIG)
+        idx = jnp.argmin(t, axis=-1)
+        tc = jnp.take_along_axis(t, idx[..., None], -1)[..., 0]
+        pc = jnp.take_along_axis(
+            jnp.broadcast_to(ids[:, None, :], t.shape),
+            idx[..., None], -1)[..., 0]
+        better = tc < tb
+        return (jnp.where(better, tc, tb),
+                jnp.where(better, pc, pb)), None
+
+    init = (jnp.full((T, tile), C.BIG, jnp.float32),
+            jnp.full((T, tile), -1, jnp.int32))
+    (tb, pid), _ = jax.lax.scan(
+        one_cluster, init,
+        (cc_all.swapaxes(0, 1), kk_all.swapaxes(0, 1),
+         ids_all.swapaxes(0, 1)))
     return tb, jnp.where(tb < C.BIG, pid, -1)
 
 

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import os
 import sys
 import time
 
@@ -135,6 +136,80 @@ def cmd_fit(args):
         print(f"step {i}: loss {float(loss):.6f}")
 
 
+def cmd_pathtrace(args):
+    """Progressive Monte Carlo path tracing of the GLSL showcase world
+    (models/pathtracer.py, models/glsl_scene.py)."""
+    import jax
+
+    from .utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from .io.image import save_png, to_u8_device
+    from .models import pathtracer as pt
+    from .models.glsl_scene import glsl_camera, glsl_world
+
+    scene = glsl_world(
+        showcase_fuzzy_reflections=args.fuzzy_reflection,
+        no_negative_sphere=False,
+    )
+    res = args.res or 256
+    cam = glsl_camera(res, res, showcase_dof=args.dof)
+    cfg = pt.PTConfig(russian_roulette=args.russian_roulette)
+
+    t0 = time.perf_counter()
+    acc = None
+    key = jax.random.PRNGKey(args.seed)
+    if args.resume and os.path.exists(args.resume + ".npz"):
+        from .utils.checkpoint import restore
+
+        acc = restore(args.resume, pt.make_accumulator(res, res))
+        print(f"resumed at {float(acc.count):.0f} spp")
+    acc = pt.render_progressive(scene, cam, cfg, key, args.frames, acc=acc)
+    dt = time.perf_counter() - t0
+    print(f"{float(acc.count):.0f} spp accumulated in {dt:.1f}s "
+          f"({res}x{res})")
+    if args.checkpoint:
+        from .utils.checkpoint import save
+
+        save(args.checkpoint, acc)
+        print(f"checkpoint saved: {args.checkpoint}")
+    img = np.asarray(to_u8_device(pt.to_image(acc)))
+    save_png(args.output, img)
+    print(f"Image file created: {args.output}")
+
+
+def cmd_orbit(args):
+    """Camera-orbit turntable — the headless equivalent of the reference's
+    GLUT mouse-orbit viewer (main.cpp:357-433)."""
+    import dataclasses as dc
+
+    import jax
+
+    from .utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from .io.image import save_png, to_u8_device
+    from .models.whitted import render_image
+    from .ops.camera import orbit_eye, with_eye
+
+    scene = _build_scene(args)
+    cfg = _config(args, scene)
+    r = float(np.linalg.norm(np.asarray(scene.camera.eye)))
+    for i in range(args.frames):
+        alpha = 360.0 * i / args.frames
+        cam = with_eye(scene.camera, orbit_eye(scene.camera, alpha,
+                                               args.beta, r))
+        s = dc.replace(scene, camera=cam)
+        img = np.asarray(to_u8_device(
+            render_image(s, cfg, jax.random.PRNGKey(i),
+                         tile_rows=args.tile_rows)))
+        path = args.output.replace("%d", str(i)) if "%d" in args.output             else f"{args.output.rsplit('.', 1)[0]}_{i:03d}.png"
+        save_png(path, img)
+        print(f"frame {i}: {path}")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="u_4a_2s_p3d_raytracer_template2_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -169,6 +244,27 @@ def main(argv=None):
     pf.add_argument("--steps", type=int, default=10)
     pf.add_argument("--lr", type=float, default=1.0)
     pf.set_defaults(fn=cmd_fit)
+
+    pp = sub.add_parser("pathtrace",
+                        help="progressive Monte Carlo path tracing")
+    pp.add_argument("--res", type=int, default=256)
+    pp.add_argument("--frames", type=int, default=16,
+                    help="1-spp frames to accumulate")
+    pp.add_argument("--seed", type=int, default=0)
+    pp.add_argument("--dof", action="store_true")
+    pp.add_argument("--fuzzy-reflection", action="store_true")
+    pp.add_argument("--russian-roulette", action="store_true")
+    pp.add_argument("--checkpoint", help="save accumulation state here")
+    pp.add_argument("--resume", help="resume accumulation state from here")
+    pp.add_argument("-o", "--output", default="PT_Output.png")
+    pp.set_defaults(fn=cmd_pathtrace)
+
+    po = sub.add_parser("orbit", help="camera-orbit turntable frames")
+    common(po)
+    po.add_argument("--frames", type=int, default=8)
+    po.add_argument("--beta", type=float, default=20.0)
+    po.add_argument("-o", "--output", default="orbit.png")
+    po.set_defaults(fn=cmd_orbit)
 
     args = p.parse_args(argv)
     return args.fn(args)
