@@ -160,7 +160,8 @@ def cmd_pathtrace(args):
     t0 = time.perf_counter()
     acc = None
     key = jax.random.PRNGKey(args.seed)
-    if args.resume and os.path.exists(args.resume + ".npz"):
+    if args.resume and (os.path.isdir(args.resume)
+                        or os.path.exists(args.resume + ".npz")):
         from .utils.checkpoint import restore
 
         acc = restore(args.resume, pt.make_accumulator(res, res))

@@ -391,13 +391,21 @@ def to_image(acc: Accumulator) -> jnp.ndarray:
 
 def render_progressive(scene: PTScene, cam: Camera, cfg: PTConfig, key,
                        n_frames: int,
-                       acc: Accumulator | None = None) -> Accumulator:
+                       acc: Accumulator | None = None,
+                       start_count: float | None = None) -> Accumulator:
+    """Accumulate up to n_frames 1-spp estimates, respecting the max_samples
+    cap (P3D_RT.glsl:357-361). The cap check uses a host-side frame counter
+    (``start_count`` when resuming) — no per-frame device sync."""
     if acc is None:
         acc = make_accumulator(cam.res_x, cam.res_y)
+        count = 0.0
+    else:
+        count = float(acc.count) if start_count is None else start_count
     frame_fn = jax.jit(render_frame, static_argnums=(2,))
     for i in range(n_frames):
-        if float(acc.count) >= cfg.max_samples:
+        if count >= cfg.max_samples:
             break
         key, sub = jax.random.split(key)
         acc = accumulate(acc, frame_fn(scene, cam, cfg, sub))
+        count += 1.0
     return acc
