@@ -163,3 +163,31 @@ def test_random_scene_builder_renders():
     assert scene.n_objects > 80
     img = np.asarray(rt.render_image(scene, rt.RenderConfig()))
     assert np.isfinite(img).all() and img.std() > 0.02
+
+
+def test_subtree_pruning_matches_oracle():
+    """Static subtree pruning (no transmissive -> no refraction subtree; no
+    reflective -> single level) must not change results vs the oracle."""
+    # diffuse-only scene: everything prunes to one level
+    sd = rt.SceneDef()
+    sd.set_camera(eye=[0, 1, 5], at=[0, 0, 0], up=[0, 1, 0], fov=45,
+                  hither=0.01, res_x=16, res_y=16, aperture_ratio=0,
+                  focal_ratio=1)
+    m = sd.add_material([0.8, 0.3, 0.2], 1.0, [1, 1, 1], 0.0, 10, 0, 1)
+    sd.add_sphere([0, 0, 0], 1.0, m)
+    sd.add_plane_points([0, -1, 0], [1, -1, 0], [0, -1, -1], m)
+    sd.add_light([5, 5, 5], [1, 1, 1])
+    sd.bg_color = np.array([0.2, 0.2, 0.2], np.float32)
+    scene = rt.build_scene(sd)
+    assert not scene.has_reflective and not scene.has_transmissive
+    cfg = rt.RenderConfig()
+    img = np.asarray(rt.render_image(scene, cfg), np.float64)
+    from conftest import assert_images_close
+    assert_images_close(img, Oracle(sd, cfg).render())
+
+    # reflective-only (sphere_plane has ks>0, T=0 everywhere): chain tree
+    sd2 = sphere_plane_scene(res=16)
+    scene2 = rt.build_scene(sd2)
+    assert scene2.has_reflective and not scene2.has_transmissive
+    img2 = np.asarray(rt.render_image(scene2, cfg), np.float64)
+    assert_images_close(img2, Oracle(sd2, cfg).render())

@@ -173,6 +173,8 @@ def build_scene(
         has_skybox=has_skybox,
         n_objects=n_obj,
         n_lights=len(sd.lights),
+        has_reflective=bool((mats[:, 7] > 0).any()),
+        has_transmissive=bool((mats[:, 9] != 0).any()),
     )
 
 

@@ -160,7 +160,8 @@ class GridArrays:
     max_per_cell: int = 1
 
 
-@pytree(meta=("accel_type", "spp", "has_skybox", "n_objects", "n_lights"))
+@pytree(meta=("accel_type", "spp", "has_skybox", "n_objects", "n_lights",
+              "has_reflective", "has_transmissive"))
 class Scene:
     """Full scene as a device pytree; replicated per chip under sharding."""
 
@@ -178,6 +179,12 @@ class Scene:
     has_skybox: bool = False
     n_objects: int = 0
     n_lights: int = 0
+    # static material-population facts: when False, the corresponding child
+    # subtree of the Whitted recursion can never activate and is pruned at
+    # trace time (main.cpp:646 spawns reflection only for Ks>0; main.cpp:671
+    # refraction only for T!=0)
+    has_reflective: bool = True
+    has_transmissive: bool = True
 
 
 # ---------------------------------------------------------------------------

@@ -222,31 +222,53 @@ def _interleave(a, b):
 
 def trace_rays(scene: Scene, rays: Rays, cfg: RenderConfig, key,
                shadow_offsets=None) -> jnp.ndarray:
-    """Color for a batch of primary rays — the full Whitted tree. [R,3]"""
+    """Color for a batch of primary rays — the full Whitted tree. [R,3]
+
+    Subtrees that can never activate are pruned statically: reflection
+    children exist only if some material has Ks>0 (main.cpp:646), refraction
+    children only if some material has T!=0 (main.cpp:671). A diffuse-only
+    scene therefore traces one level; a reflective-only scene traces a
+    depth-D chain (D·R slots) instead of the full binary tree (2^D·R slots).
+    """
     R = rays.origin.shape[0]
+    spawn_refl = scene.has_reflective
+    spawn_refr = scene.has_transmissive
+
+    if not (spawn_refl or spawn_refr):
+        # no secondary rays possible: single unclamped local+bg level
+        key, sub = jax.random.split(key)
+        local_color, _ = _level_step(scene, rays, jnp.ones((R,), bool),
+                                     jnp.ones((R,), jnp.float32), cfg, sub,
+                                     True, shadow_offsets)
+        return local_color
+
     levels = []
     cur_rays = rays
     cur_active = jnp.ones((R,), bool)
     cur_ior = jnp.ones((R,), jnp.float32)
-    cur_offsets = shadow_offsets
 
     for lvl in range(cfg.max_depth):
         key, sub = jax.random.split(key)
         spawn = lvl < cfg.max_depth - 1
         out = _level_step(scene, cur_rays, cur_active, cur_ior, cfg, sub,
-                          spawn, cur_offsets)
+                          spawn, shadow_offsets)
         if spawn:
             local_color, (children, fold) = out
             levels.append((local_color, fold))
             (refl_rays, refl_act, refl_ior) = children["refl"]
             (refr_rays, refr_act, refr_ior) = children["refr"]
-            cur_rays = Rays(
-                _interleave(refl_rays.origin, refr_rays.origin),
-                _interleave(refl_rays.direction, refr_rays.direction),
-                _interleave(refl_rays.time, refr_rays.time),
-            )
-            cur_active = _interleave(refl_act, refr_act)
-            cur_ior = _interleave(refl_ior, refr_ior)
+            if spawn_refl and spawn_refr:
+                cur_rays = Rays(
+                    _interleave(refl_rays.origin, refr_rays.origin),
+                    _interleave(refl_rays.direction, refr_rays.direction),
+                    _interleave(refl_rays.time, refr_rays.time),
+                )
+                cur_active = _interleave(refl_act, refr_act)
+                cur_ior = _interleave(refl_ior, refr_ior)
+            elif spawn_refl:
+                cur_rays, cur_active, cur_ior = refl_rays, refl_act, refl_ior
+            else:
+                cur_rays, cur_active, cur_ior = refr_rays, refr_act, refr_ior
             # shadow_offsets are the reference's global (i, j) subpixel
             # indices (main.cpp:779-780): identical at every recursion level,
             # so they pass through unchanged as scalars.
@@ -256,8 +278,15 @@ def trace_rays(scene: Scene, rays: Rays, cfg: RenderConfig, key,
     # backward fold: children -> parents (main.cpp:719)
     child_color = leaf_color
     for local_color, fold in reversed(levels):
-        refl = child_color[0::2]
-        refr = child_color[1::2]
+        if spawn_refl and spawn_refr:
+            refl = child_color[0::2]
+            refr = child_color[1::2]
+        elif spawn_refl:
+            refl = child_color
+            refr = 0.0
+        else:
+            refl = 0.0
+            refr = child_color
         kr = fold["kr"][:, None]
         combined = (local_color
                     + refl * kr * fold["spec_color"]

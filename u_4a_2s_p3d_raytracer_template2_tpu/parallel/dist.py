@@ -158,3 +158,70 @@ def train_step(scene: Scene, target, cfg: RenderConfig, mesh: Mesh,
         ior=jnp.maximum(new_mats.ior, 1.0),
     )
     return _scene_with_materials(scene, new_mats), loss
+
+
+# ---------------------------------------------------------------------------
+# path tracer sharding: frames are embarrassingly parallel over pixels
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def pt_frame_sharded(scene, cam: "object", cfg, mesh: Mesh, key=None):
+    """One 1-spp path-traced frame with pixels sharded over the mesh.
+    Returns the full [H, W, 3] linear frame (gathered)."""
+    from ..models.pathtracer import ray_color
+    from ..ops.camera import thin_lens_rays
+    from ..ops.sampling import sample_unit_disk
+
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    n = mesh.devices.size
+    ys, xs = jnp.meshgrid(
+        jnp.arange(cam.res_y, dtype=jnp.float32),
+        jnp.arange(cam.res_x, dtype=jnp.float32),
+        indexing="ij",
+    )
+    px, true_n = _pad_to(xs.reshape(-1), n)
+    py, _ = _pad_to(ys.reshape(-1), n)
+
+    def shard_fn(scene, px, py, key):
+        k = jax.random.fold_in(key[0], jax.lax.axis_index(AXIS))
+        kj, kl, kt, kc = jax.random.split(k, 4)
+        R = px.shape[0]
+        jit2 = jax.random.uniform(kj, (R, 2), jnp.float32)
+        lens = sample_unit_disk(kl, (R,)) * (cam.aperture * 0.5)
+        time = cam.time0 + jax.random.uniform(kt, (R,)) * (cam.time1 - cam.time0)
+        rays = thin_lens_rays(cam, px + jit2[:, 0], py + jit2[:, 1], lens,
+                              time)
+        return ray_color(scene, cfg, rays, kc)
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(AXIS), P(AXIS), P()),
+        out_specs=P(AXIS),
+        check_vma=False,
+    )
+    out = fn(scene, px, py, key[None])
+    return out[:true_n].reshape(cam.res_y, cam.res_x, 3)
+
+
+# ---------------------------------------------------------------------------
+# multi-host bootstrap (SURVEY.md §5 'distributed communication backend')
+
+
+def initialize_multihost(coordinator_address=None, num_processes=None,
+                         process_id=None):
+    """jax.distributed bootstrap for multi-host pods: call once per host
+    before device use; afterwards jax.devices() spans the slice and the same
+    Mesh/shard_map code paths run with DCN across hosts and ICI within
+    (SURVEY.md §5). No-op when running single-process."""
+    import jax
+
+    if num_processes is None or num_processes <= 1:
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return True
