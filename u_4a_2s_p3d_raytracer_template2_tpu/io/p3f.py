@@ -67,6 +67,22 @@ class SceneDef:
             n = n / ln
         self._pack(C.TRIANGLE, [*p0, *e1, *e2, *n], mat_id)
 
+    def add_triangles_bulk(self, verts: np.ndarray, faces: np.ndarray,
+                           mat_id: int):
+        """Vectorized mesh ingestion (the 'mesh' keyword, scene.cpp:556-585):
+        precompute v0/e1/e2/flat-normal for every face in one shot."""
+        v0 = verts[faces[:, 0]].astype(np.float32)
+        e1 = (verts[faces[:, 1]] - verts[faces[:, 0]]).astype(np.float32)
+        e2 = (verts[faces[:, 2]] - verts[faces[:, 0]]).astype(np.float32)
+        n = np.cross(e1, e2)
+        ln = np.linalg.norm(n, axis=-1, keepdims=True)
+        n = np.where(ln > 0, n / np.where(ln > 0, ln, 1.0), 0.0)
+        params = np.concatenate([v0, e1, e2, n], axis=-1).astype(np.float32)
+        self.objects.extend(
+            ObjectDef(C.TRIANGLE, params[i], mat_id)
+            for i in range(params.shape[0])
+        )
+
     def add_plane_points(self, p0, p1, p2, mat_id):
         """Plane from 3 CCW points (scene.cpp:94-113)."""
         p0 = np.asarray(p0, np.float32)
@@ -128,6 +144,16 @@ class _Tokens:
     def vec3(self) -> np.ndarray:
         return np.array([self.next_f(), self.next_f(), self.next_f()], np.float32)
 
+    def take_floats(self, n: int) -> np.ndarray:
+        out = np.array(self._toks[self._i:self._i + n], np.float32)
+        self._i += n
+        return out
+
+    def take_ints(self, n: int) -> np.ndarray:
+        out = np.array(self._toks[self._i:self._i + n], np.int64)
+        self._i += n
+        return out
+
     def expect(self, name: str):
         t = self.next()
         if t != name:
@@ -183,14 +209,11 @@ def parse_p3f_text(text: str) -> SceneDef:
         elif cmd == "mesh":
             nvert = tk.next_i()
             nface = tk.next_i()
-            verts = np.stack([tk.vec3() for _ in range(nvert)])
-            for _ in range(nface):
-                a, b, c = tk.next_i(), tk.next_i(), tk.next_i()
-                if a > 0:  # 1-based (scene.cpp:570-574)
-                    a, b, c = a - 1, b - 1, c - 1
-                else:      # negative indices wrap (scene.cpp:575-579)
-                    a, b, c = a + nvert, b + nvert, c + nvert
-                sd.add_triangle(verts[a], verts[b], verts[c], mat)
+            verts = tk.take_floats(nvert * 3).reshape(nvert, 3)
+            faces = tk.take_ints(nface * 3).reshape(nface, 3)
+            # 1-based or negative (wrapping) indices (scene.cpp:568-580)
+            faces = np.where(faces[:, :1] > 0, faces - 1, faces + nvert)
+            sd.add_triangles_bulk(verts, faces, mat)
         elif cmd == "pl":
             sd.add_plane_points(tk.vec3(), tk.vec3(), tk.vec3(), mat)
         elif cmd == "l":
