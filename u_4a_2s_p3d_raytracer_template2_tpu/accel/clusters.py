@@ -278,11 +278,41 @@ def _sph_kernel(tables, ids2d, cid, act, o_t, d_t):
     return tb, jnp.where(tb < C.BIG, pid, -1)
 
 
+def _coherence_key(o, d, bmin, bmax):
+    """Sort key packing direction octant (3 bits) over a 4-bit-per-axis
+    origin cell: rays that start near each other and point the same way land
+    in the same tile, which is what keeps per-tile worklists short."""
+    octant = ((d[:, 0] > 0).astype(jnp.int32) * 4
+              + (d[:, 1] > 0).astype(jnp.int32) * 2
+              + (d[:, 2] > 0).astype(jnp.int32))
+    ext = jnp.maximum(bmax - bmin, 1e-6)
+    q = jnp.clip(((o - bmin[None, :]) / ext[None, :] * 16.0).astype(jnp.int32),
+                 0, 15)
+    return (octant << 12) | (q[:, 0] << 8) | (q[:, 1] << 4) | q[:, 2]
+
+
 def clustered_closest_hit(ct: ClusterTables, prims: Primitives, rays: Rays,
-                          tile: int = 1024):
-    """Closest hit via tile-coherent cluster sweeps + dense planes/boxes."""
+                          tile: int = 1024, coherence_sort: bool = True):
+    """Closest hit via tile-coherent cluster sweeps + dense planes/boxes.
+
+    ``coherence_sort`` re-orders rays by (direction octant, origin cell)
+    before tiling and scatters results back — the wavefront-compaction
+    analogue of SURVEY.md §7 for incoherent secondary/shadow bounces.
+    """
     o, d = rays.origin, rays.direction
     R = o.shape[0]
+
+    perm = None
+    if coherence_sort and R > tile:
+        world_min = jnp.minimum(
+            jnp.min(ct.tri_bmin, axis=0), jnp.min(ct.sph_bmin, axis=0))
+        world_max = jnp.maximum(
+            jnp.max(ct.tri_bmax, axis=0), jnp.max(ct.sph_bmax, axis=0))
+        key = _coherence_key(o, d, world_min, world_max)
+        perm = jnp.argsort(key)
+        o = o[perm]
+        d = d[perm]
+
     pad = (-R) % tile
     if pad:
         o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
@@ -304,6 +334,11 @@ def clustered_closest_hit(ct: ClusterTables, prims: Primitives, rays: Rays,
 
     t_best = carry[0].reshape(-1)[:R]
     id_best = carry[1].reshape(-1)[:R]
+    if perm is not None:
+        # scatter back to the caller's ray order
+        inv = jnp.argsort(perm)
+        t_best = t_best[inv]
+        id_best = id_best[inv]
 
     # planes and boxes are few: dense sweep on the original ray batch
     carry2 = (t_best, id_best)

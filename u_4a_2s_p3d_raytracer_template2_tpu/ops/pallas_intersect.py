@@ -25,7 +25,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core import constants as C
 
-TILE_R = 512    # rays per program instance
+TILE_R = 1024   # rays per program; outputs block as (8, 128)
+SUB_R = 256     # rays per inner subtile — bounds live VMEM temps to [256,128]
 LANE = 128      # primitives per inner step
 
 _EPS = C.EPSILON
@@ -54,71 +55,79 @@ def _sphere_body(o, d, cs, kk, valid):
 
 
 def _sphere_kernel(o_ref, d_ref, c_ref, k_ref, ids_ref, t_ref, id_ref):
-    o = o_ref[:]                     # [TILE_R, 3]
-    d = d_ref[:]
     n_chunks = c_ref.shape[0]        # tables pre-chunked [n_chunks, LANE, ...]
 
-    def body(ci, carry):
-        t_best, id_best = carry
-        cs = c_ref[ci]               # [LANE, 3]
-        kk = k_ref[ci]               # [LANE]
-        ids = ids_ref[ci]
-        t = _sphere_body(o, d, cs, kk, ids >= 0)
-        # gather-free reduce (Mosaic has no in-kernel gather): min over lanes,
-        # then the smallest id among exact-min lanes — the reference's
-        # first-in-order tie rule for an ascending id table.
-        t_min = jnp.min(t, axis=-1)
-        pid = jnp.min(
-            jnp.where(t == t_min[:, None], ids[None, :], jnp.int32(2**30)),
-            axis=-1)
-        better = t_min < t_best
-        return (jnp.where(better, t_min, t_best),
-                jnp.where(better, pid, id_best))
+    for sub in range(TILE_R // SUB_R):
+        o = o_ref[sub * SUB_R:(sub + 1) * SUB_R, :]   # [SUB_R, 3]
+        d = d_ref[sub * SUB_R:(sub + 1) * SUB_R, :]
 
-    init = (jnp.full((TILE_R,), C.BIG, jnp.float32),
-            jnp.full((TILE_R,), -1, jnp.int32))
-    t_best, id_best = jax.lax.fori_loop(0, n_chunks, body, init)
-    t_ref[:] = t_best
-    id_ref[:] = id_best
+        def body(ci, carry):
+            t_best, id_best = carry
+            cs = c_ref[ci]           # [LANE, 3]
+            kk = k_ref[ci]           # [LANE]
+            ids = ids_ref[ci]
+            t = _sphere_body(o, d, cs, kk, ids >= 0)
+            # gather-free reduce (Mosaic has no in-kernel gather): min over
+            # lanes, then the smallest id among exact-min lanes — the
+            # reference's first-in-order tie rule for an ascending id table.
+            t_min = jnp.min(t, axis=-1)
+            pid = jnp.min(
+                jnp.where(t == t_min[:, None], ids[None, :],
+                          jnp.int32(2**30)),
+                axis=-1)
+            better = t_min < t_best
+            return (jnp.where(better, t_min, t_best),
+                    jnp.where(better, pid, id_best))
+
+        init = (jnp.full((SUB_R,), C.BIG, jnp.float32),
+                jnp.full((SUB_R,), -1, jnp.int32))
+        t_best, id_best = jax.lax.fori_loop(0, n_chunks, body, init)
+        rows = SUB_R // LANE
+        t_ref[sub * rows:(sub + 1) * rows, :] = t_best.reshape(rows, LANE)
+        id_ref[sub * rows:(sub + 1) * rows, :] = id_best.reshape(rows, LANE)
 
 
 def _tri_kernel(o_ref, d_ref, mo_ref, md_ref, ids_ref, t_ref, id_ref):
-    o = o_ref[:]                     # [TILE_R, 3]
-    d = d_ref[:]
-    o4 = jnp.concatenate([o, jnp.ones((o.shape[0], 1), o.dtype)], -1)
     n_chunks = mo_ref.shape[0]       # tables pre-chunked [n_chunks, ...]
 
-    def body(ci, carry):
-        t_best, id_best = carry
-        mo = mo_ref[ci]              # [3*LANE, 4]
-        md = md_ref[ci]              # [3*LANE, 3]
-        ids = ids_ref[ci]            # [LANE]
-        s_o = jnp.dot(o4, mo.T, preferred_element_type=jnp.float32)
-        s_d = jnp.dot(d, md.T, preferred_element_type=jnp.float32)
-        s_o = s_o.reshape(o.shape[0], LANE, 3)
-        s_d = s_d.reshape(o.shape[0], LANE, 3)
-        den = s_d[..., 0]
-        ok = jnp.abs(den) > _EPS
-        inv = 1.0 / jnp.where(ok, den, 1.0)
-        t = -s_o[..., 0] * inv
-        u = s_o[..., 1] + t * s_d[..., 1]
-        v = s_o[..., 2] + t * s_d[..., 2]
-        ok &= (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
-        ok &= (t > _EPS) & (ids >= 0)[None, :]
-        t = jnp.where(ok, t, C.BIG)
-        t_min = jnp.min(t, axis=-1)
-        pid = jnp.min(
-            jnp.where(t == t_min[:, None], ids[None, :], jnp.int32(2**30)),
-            axis=-1)
-        better = t_min < t_best
-        return (jnp.where(better, t_min, t_best),
-                jnp.where(better, pid, id_best))
+    for sub in range(TILE_R // SUB_R):
+        o = o_ref[sub * SUB_R:(sub + 1) * SUB_R, :]   # [SUB_R, 3]
+        d = d_ref[sub * SUB_R:(sub + 1) * SUB_R, :]
+        o4 = jnp.concatenate([o, jnp.ones((o.shape[0], 1), o.dtype)], -1)
 
-    init = (jnp.full((TILE_R,), C.BIG, jnp.float32),
-            jnp.full((TILE_R,), -1, jnp.int32))
-    t_best, id_best = jax.lax.fori_loop(0, n_chunks, body, init)
-    t_ref[:] = t_best
-    id_ref[:] = id_best
+        def body(ci, carry):
+            t_best, id_best = carry
+            mo = mo_ref[ci]          # [3*LANE, 4]
+            md = md_ref[ci]          # [3*LANE, 3]
+            ids = ids_ref[ci]        # [LANE]
+            s_o = jnp.dot(o4, mo.T, preferred_element_type=jnp.float32)
+            s_d = jnp.dot(d, md.T, preferred_element_type=jnp.float32)
+            s_o = s_o.reshape(SUB_R, LANE, 3)
+            s_d = s_d.reshape(SUB_R, LANE, 3)
+            den = s_d[..., 0]
+            ok = jnp.abs(den) > _EPS
+            inv = 1.0 / jnp.where(ok, den, 1.0)
+            t = -s_o[..., 0] * inv
+            u = s_o[..., 1] + t * s_d[..., 1]
+            v = s_o[..., 2] + t * s_d[..., 2]
+            ok &= (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
+            ok &= (t > _EPS) & (ids >= 0)[None, :]
+            t = jnp.where(ok, t, C.BIG)
+            t_min = jnp.min(t, axis=-1)
+            pid = jnp.min(
+                jnp.where(t == t_min[:, None], ids[None, :],
+                          jnp.int32(2**30)),
+                axis=-1)
+            better = t_min < t_best
+            return (jnp.where(better, t_min, t_best),
+                    jnp.where(better, pid, id_best))
+
+        init = (jnp.full((SUB_R,), C.BIG, jnp.float32),
+                jnp.full((SUB_R,), -1, jnp.int32))
+        t_best, id_best = jax.lax.fori_loop(0, n_chunks, body, init)
+        rows = SUB_R // LANE
+        t_ref[sub * rows:(sub + 1) * rows, :] = t_best.reshape(rows, LANE)
+        id_ref[sub * rows:(sub + 1) * rows, :] = id_best.reshape(rows, LANE)
 
 
 def _pad_rays(o, d):
@@ -151,19 +160,21 @@ def sphere_closest(centers, k_const, ids, o, d, interpret: bool = False):
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((TILE_R,), lambda i: (i,),
+            pl.BlockSpec((TILE_R // LANE, LANE), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_R,), lambda i: (i,),
+            pl.BlockSpec((TILE_R // LANE, LANE), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((o.shape[0],), jnp.float32),
-            jax.ShapeDtypeStruct((o.shape[0],), jnp.int32),
+            jax.ShapeDtypeStruct((o.shape[0] // LANE, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((o.shape[0] // LANE, LANE), jnp.int32),
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=14 * 1024 * 1024),
         interpret=interpret,
     )(o, d, centers.reshape(-1, LANE, 3), k_const.reshape(-1, LANE),
       ids.reshape(-1, LANE))
-    return t[:R], pid[:R]
+    return t.reshape(-1)[:R], pid.reshape(-1)[:R]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -184,16 +195,18 @@ def triangle_closest(mo, md, ids, o, d, interpret: bool = False):
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((TILE_R,), lambda i: (i,),
+            pl.BlockSpec((TILE_R // LANE, LANE), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_R,), lambda i: (i,),
+            pl.BlockSpec((TILE_R // LANE, LANE), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((o.shape[0],), jnp.float32),
-            jax.ShapeDtypeStruct((o.shape[0],), jnp.int32),
+            jax.ShapeDtypeStruct((o.shape[0] // LANE, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((o.shape[0] // LANE, LANE), jnp.int32),
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=14 * 1024 * 1024),
         interpret=interpret,
     )(o, d, mo.reshape(-1, 3 * LANE, 4), md.reshape(-1, 3 * LANE, 3),
       ids.reshape(-1, LANE))
-    return t[:R], pid[:R]
+    return t.reshape(-1)[:R], pid.reshape(-1)[:R]
