@@ -12,7 +12,16 @@ axis (128 per chunk — one VPU/MXU lane block). Grid = ray tiles.
 Both kernels reproduce the exact reference semantics of their XLA twins
 (sphere: scene.cpp:149-172 smaller-positive-root; triangle: Baldwin-Weber
 form of Möller-Trumbore with the |n·d| > EPSILON det cutoff and t > EPSILON,
-scene.cpp:55-88) and are validated against them in interpret mode on CPU.
+scene.cpp:55-88) and are validated against them in interpret mode on CPU
+(tests/test_pallas_kernels.py).
+
+STATUS: compiled + validated in interpret mode; on-device execution through
+the current remote-TPU tunnel dies with an opaque terminal-side
+RESOURCE_EXHAUSTED regardless of tile/VMEM sizing (tried 1-D and (8,128)
+output layouts, TILE_R 256/1024, inner subtiling, vmem_limit 14-100MB), so
+they are not wired into the default path yet; the XLA/MXU path
+(ops/mxu_intersect.py) is the production route. Revisit on a directly
+attached chip.
 """
 from __future__ import annotations
 
