@@ -193,8 +193,20 @@ class Oracle:
 
         color = np.zeros(3)
         for l in self.lights:
-            Lvec = l[0:3] - hit_point
-            color += self.process_light(Lvec, l[3:6], mat, d, precise, normal)
+            if getattr(self.cfg, "soft_shadow", False):
+                # 4x4 light grid, each 1/16 color (main.cpp:601-618)
+                dd, start = 0.125, -0.25
+                for i in range(4):
+                    for j in range(4):
+                        pos = l[0:3] + np.array(
+                            [start + j * dd, start + i * dd, 0.0], np.float32)
+                        color += self.process_light(
+                            pos - hit_point, l[3:6] / 16.0, mat, d, precise,
+                            normal)
+            else:
+                Lvec = l[0:3] - hit_point
+                color += self.process_light(Lvec, l[3:6], mat, d, precise,
+                                            normal)
 
         if depth >= cfg.max_depth:
             return np.clip(color, 0, 1)

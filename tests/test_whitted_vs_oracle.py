@@ -191,3 +191,14 @@ def test_subtree_pruning_matches_oracle():
     assert scene2.has_reflective and not scene2.has_transmissive
     img2 = np.asarray(rt.render_image(scene2, cfg), np.float64)
     assert_images_close(img2, Oracle(sd2, cfg).render())
+
+
+def test_soft_shadow_grid_matches_oracle():
+    """Deterministic 4x4-grid soft shadows (SOFT_SHADOW && !AA,
+    main.cpp:601-618) against the oracle."""
+    sd = mixed_scene(res=16)
+    cfg = rt.RenderConfig(soft_shadow=True)
+    scene = rt.build_scene(sd)
+    img = np.asarray(rt.render_image(scene, cfg), np.float64)
+    want = Oracle(sd, cfg).render()
+    assert_images_close(img, want, max_bad_frac=0.02)
