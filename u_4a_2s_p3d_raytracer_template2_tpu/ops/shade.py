@@ -105,9 +105,15 @@ def refract(d, normal_flipped, inside, ior_1, mat_ior, mode: str) -> RefractOut:
     mat_ior = jnp.where(mat_ior > 0.0, mat_ior, 1.0)
     eta = jnp.where(inside, ior_1, ior_1 / mat_ior)
     cos_i = jnp.abs(ndv)  # == |viewnormal| for unit nf
-    sin_t = eta * jnp.linalg.norm(viewtangent, axis=-1)
+    # safe norm: ||.|| has a NaN gradient at 0 (normal incidence lanes)
+    vt2 = jnp.sum(viewtangent * viewtangent, axis=-1)
+    sin_t = eta * jnp.sqrt(jnp.maximum(vt2, 1e-24))
     insqrt = 1.0 - sin_t * sin_t
-    can = insqrt >= 0.0
+    # strict >: miss lanes can produce insqrt == 0.0 exactly (degenerate
+    # normal => |viewtangent| == 1, eta == 1), and sqrt's infinite slope at 0
+    # turns into NaN cotangents via 0*inf even though the lane is masked
+    # downstream. cos_t at the boundary is 0 either way.
+    can = insqrt > 0.0
     # double-where: sqrt has an infinite gradient at 0
     cos_t = jnp.where(can, jnp.sqrt(jnp.where(can, insqrt, 1.0)), 0.0)
     t_hat = normalize(viewtangent, eps=1e-12)
