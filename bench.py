@@ -43,19 +43,34 @@ def main():
 
     ys, xs = np.meshgrid(np.arange(res, dtype=np.float32),
                          np.arange(res, dtype=np.float32), indexing="ij")
-    px = jax.numpy.asarray(xs.reshape(-1))
     py = jax.numpy.asarray(ys.reshape(-1))
 
+    # pre-stage varying inputs on device: identical (executable, inputs)
+    # pairs get deduped by the remote-TPU tunnel (absurd 0.1 ms timings),
+    # so each iteration gets a distinct sub-pixel-shifted px array — same
+    # workload, different bits. Keys are pre-split for the same reason.
+    n_iters = 12
+    pxs = [jax.numpy.asarray(xs.reshape(-1) + i * 0.37) for i in range(n_iters)]
+    keys = list(jax.random.split(key, n_iters))
+    for a in pxs + keys:
+        a.block_until_ready()
+
     # compile + warmup
-    out = render_tile_jit(scene, px, py, cfg, key)
+    out = render_tile_jit(scene, pxs[0], py, cfg, keys[0])
     out.block_until_ready()
 
-    n_iters = 5
-    t0 = time.perf_counter()
+    # median per-call blocking latency over distinct-input frames. Distinct
+    # inputs defeat the tunnel's (executable, inputs) dedup; per-call
+    # blocking defeats multi-frame overlap illusions; the median rides out
+    # link-latency spikes. Includes one tunnel RTT per frame, so this is a
+    # conservative lower bound on chip throughput.
+    times = []
     for i in range(n_iters):
-        out = render_tile_jit(scene, px, py, cfg, jax.random.PRNGKey(i))
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / n_iters
+        t0 = time.perf_counter()
+        out = render_tile_jit(scene, pxs[i], py, cfg, keys[i])
+        out.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
 
     # ray accounting (BASELINE.md): primary + per-light shadow at the top
     # level; secondary levels add reflect/refract + their shadow rays. We

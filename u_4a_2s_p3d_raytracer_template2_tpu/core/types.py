@@ -256,6 +256,14 @@ class RenderConfig:
 
     shutter: tuple[float, float] = (0.0, 1.0)  # main.cpp:47-48
 
+    # Secondary-ray engine: "sweep" = full 2^l level sweep (exact for every
+    # scene); "wavefront" = stream-compacted queue (models/whitted_wavefront
+    # .py) — identical images for deterministic configs, ~the active-lane
+    # fraction cheaper on real scenes.
+    engine: str = "sweep"
+    # queue capacity = ceil(primary_count * this) in wavefront mode
+    wavefront_capacity: float = 1.0
+
     def with_scene_flags(self, scene: Scene) -> "RenderConfig":
         """Apply the reference's init-time coupling: spp>0 enables AA+DoF
         ("Distribution Ray-Tracing", main.cpp:939-946)."""

@@ -300,15 +300,30 @@ def trace_rays(scene: Scene, rays: Rays, cfg: RenderConfig, key,
 # pixel loop (renderScene, main.cpp:732-832)
 
 
+def _trace_fn(cfg: RenderConfig):
+    if cfg.engine == "wavefront":
+        from .whitted_wavefront import trace_rays_wavefront
+
+        def fn(scene, rays, cfg, key, shadow_offsets=None):
+            return trace_rays_wavefront(
+                scene, rays, cfg, key, shadow_offsets,
+                capacity_factor=cfg.wavefront_capacity)
+        return fn
+    if cfg.engine != "sweep":
+        raise ValueError(f"unknown engine {cfg.engine!r}")
+    return trace_rays
+
+
 def render_tile(scene: Scene, px, py, cfg: RenderConfig, key) -> jnp.ndarray:
     """Render a flat batch of pixel centers px,py -> [R,3] colors in [0,1]."""
     R = px.shape[0]
+    trace = _trace_fn(cfg)
     if not cfg.anti_aliasing:
         key, kcam, ktrace = jax.random.split(key, 3)
         rays = primary_rays(scene.camera, px + 0.5, py + 0.5, kcam,
                             depth_of_field=cfg.depth_of_field,
                             motion_blur=cfg.motion_blur)
-        color = clamp01(trace_rays(scene, rays, cfg, ktrace))
+        color = clamp01(trace(scene, rays, cfg, ktrace))
         return color
 
     # spp*spp jittered subpixels (main.cpp:777-798), folded into a lax.scan so
@@ -330,7 +345,7 @@ def render_tile(scene: Scene, px, py, cfg: RenderConfig, key) -> jnp.ndarray:
                             depth_of_field=cfg.depth_of_field,
                             motion_blur=cfg.motion_blur)
         offsets = (i, j)  # the reference's global subpixel indices
-        acc = acc + clamp01(trace_rays(scene, rays, cfg, ktrace, offsets))
+        acc = acc + clamp01(trace(scene, rays, cfg, ktrace, offsets))
         return acc, None
 
     color, _ = jax.lax.scan(body, jnp.zeros((R, 3), jnp.float32), (ij, keys))

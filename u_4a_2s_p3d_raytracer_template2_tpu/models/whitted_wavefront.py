@@ -1,0 +1,125 @@
+"""Compacted wavefront Whitted tracer — the level sweep without dead lanes.
+
+The level sweep (models/whitted.py) allocates 2^l ray slots per level; on
+real scenes almost all of them are inactive (mount_low measured: level-2
+45%, level-3 5.7%, level-4 1.6% active — a 6.6x lane waste at depth 4).
+This module exploits the linearity of the Whitted combine
+``color = local + KR·specColor·refl + (1-KR)·refr`` (main.cpp:719): instead
+of a backward fold over the full binary tree, each queue entry carries a
+*throughput weight* (the product of fold coefficients along its path) and
+adds ``weight · local`` straight into its pixel. Between rounds the child
+candidates are stream-compacted (cumsum destinations, ``.at[].set(mode=
+"drop")`` — no sort) into a fixed-capacity queue, so every round costs one
+primary-batch's worth of lanes instead of 2^l.
+
+Exactness: identical to the level sweep for deterministic configs — the
+only nonlinearities in the reference recursion are the depth-cap clamp
+(main.cpp:632-634), applied here on the final round, and the top-level
+clamp in render_tile. Stochastic features (soft-shadow jitter) consume RNG
+in a different order, so those match only in distribution.
+
+Capacity: ``ceil(R · capacity_factor)``. A child beyond capacity is dropped
+(its throughput is lost). factor=1 is lossless whenever active children per
+level never exceed the primary count — true for every corpus scene
+(measured; level-2 actives = hit ∩ (Ks>0 ∪ T≠0) ≤ R by construction, and
+deeper levels decay geometrically). Use factor=2 for a guaranteed-lossless
+second level on pathological all-specular-all-transmissive scenes.
+"""
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from ..core.types import RenderConfig, Rays, Scene
+from . import whitted
+
+
+def _interleave(a, b):
+    return jnp.stack([a, b], axis=1).reshape((-1,) + a.shape[1:])
+
+
+def trace_rays_wavefront(scene: Scene, rays: Rays, cfg: RenderConfig, key,
+                         shadow_offsets=None,
+                         capacity_factor: float = 1.0) -> jnp.ndarray:
+    """Color for a batch of primary rays via the compacted wavefront. [R,3]"""
+    R = rays.origin.shape[0]
+    spawn_refl = scene.has_reflective
+    spawn_refr = scene.has_transmissive
+    out = jnp.zeros((R, 3), jnp.float32)
+
+    if not (spawn_refl or spawn_refr) or cfg.max_depth <= 1:
+        key, sub = jax.random.split(key)
+        local, _ = whitted._level_step(
+            scene, rays, jnp.ones((R,), bool), jnp.ones((R,), jnp.float32),
+            cfg, sub, True, shadow_offsets)
+        return local
+
+    C = int(math.ceil(R * capacity_factor))
+
+    # round-1 queue is the primary batch itself
+    q_rays = rays
+    q_active = jnp.ones((R,), bool)
+    q_ior = jnp.ones((R,), jnp.float32)
+    q_w = jnp.ones((R, 3), jnp.float32)
+    q_pix = jnp.arange(R, dtype=jnp.int32)
+
+    for lvl in range(cfg.max_depth):
+        key, sub = jax.random.split(key)
+        spawn = lvl < cfg.max_depth - 1
+        step = whitted._level_step(scene, q_rays, q_active, q_ior, cfg, sub,
+                                   spawn, shadow_offsets)
+        local_color = step[0]  # local on hit, bg on miss, 0 inactive
+        out = out.at[q_pix].add(q_w * local_color)
+        if not spawn:
+            break
+
+        children, fold = step[1]
+        kr = fold["kr"][:, None]
+        (refl_rays, refl_act, refl_ior) = children["refl"]
+        (refr_rays, refr_act, refr_ior) = children["refr"]
+        refl_w = q_w * kr * fold["spec_color"]
+        refr_w = q_w * (1.0 - kr)
+        # zero-throughput children contribute exactly nothing — don't queue
+        refl_act = refl_act & (jnp.max(refl_w, axis=-1) > 0.0)
+        refr_act = refr_act & (jnp.max(refr_w, axis=-1) > 0.0)
+
+        if spawn_refl and spawn_refr:
+            c_o = _interleave(refl_rays.origin, refr_rays.origin)
+            c_d = _interleave(refl_rays.direction, refr_rays.direction)
+            c_t = _interleave(refl_rays.time, refr_rays.time)
+            c_act = _interleave(refl_act, refr_act)
+            c_ior = _interleave(refl_ior, refr_ior)
+            c_w = _interleave(refl_w, refr_w)
+            c_pix = _interleave(q_pix, q_pix)
+        elif spawn_refl:
+            c_o, c_d, c_t = refl_rays.origin, refl_rays.direction, refl_rays.time
+            c_act, c_ior, c_w, c_pix = refl_act, refl_ior, refl_w, q_pix
+        else:
+            c_o, c_d, c_t = refr_rays.origin, refr_rays.direction, refr_rays.time
+            c_act, c_ior, c_w, c_pix = refr_act, refr_ior, refr_w, q_pix
+
+        # stream compaction: cumsum destinations; inactive and overflow
+        # lanes get index C which .at[...](mode="drop") discards
+        dest = jnp.cumsum(c_act.astype(jnp.int32)) - 1
+        dest = jnp.where(c_act, jnp.minimum(dest, C), C)
+        n_act = jnp.minimum(jnp.sum(c_act.astype(jnp.int32)), C)
+
+        def fill(init, val):
+            return init.at[dest].set(val, mode="drop")
+
+        # defaults on empty lanes: unit +z direction (finite math all the
+        # way through; see the default_dir note in whitted._level_step)
+        q_rays = Rays(
+            fill(jnp.zeros((C, 3), jnp.float32), c_o),
+            fill(jnp.broadcast_to(
+                jnp.array([0.0, 0.0, 1.0], jnp.float32), (C, 3)).copy(), c_d),
+            fill(jnp.zeros((C,) + c_t.shape[1:], c_t.dtype), c_t),
+        )
+        q_ior = fill(jnp.ones((C,), jnp.float32), c_ior)
+        q_w = fill(jnp.zeros((C, 3), jnp.float32), c_w)
+        q_pix = fill(jnp.zeros((C,), jnp.int32), c_pix)
+        q_active = jnp.arange(C, dtype=jnp.int32) < n_act
+
+    return out
