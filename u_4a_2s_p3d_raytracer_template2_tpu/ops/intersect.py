@@ -153,6 +153,28 @@ def _typed_min(fn, p, ids, o, d, chunk, carry):
     return carry
 
 
+# Pallas fused kernels (ops/pallas_intersect.py) beat the XLA/MXU chunked
+# path once the [R, chunk] HBM round-trips dominate: measured on v5e at
+# 262k rays x 7.4k spheres, 39 ms vs 95 ms per sweep. Below this primitive
+# count the pallas_call fixed overhead isn't worth it. Module-level so tests
+# can monkeypatch.
+PALLAS_MIN = 1024
+USE_PALLAS = True
+
+
+def _use_pallas(K: int) -> bool:
+    return (USE_PALLAS and K >= PALLAS_MIN
+            and jax.default_backend() == "tpu")
+
+
+def _fold_pair(carry, t, pid):
+    """Fold one type's (t, id) into the running best; strict < keeps the
+    earlier type on exact cross-type ties (same rule as _typed_min)."""
+    t_best, id_best = carry
+    better = t < t_best
+    return (jnp.where(better, t, t_best), jnp.where(better, pid, id_best))
+
+
 def closest_hit_brute(
     prims: Primitives, rays: Rays, chunk: int = 2048
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -164,6 +186,10 @@ def closest_hit_brute(
     index; cross-type exact ties resolve by type order (tri, sphere, plane,
     box) rather than parse order — a measure-zero divergence from the
     reference's single ascending scan.
+
+    The traversal result is discrete by design (the shading layer re-derives
+    t differentiably from the gathered winner, see per_ray_t); the fused
+    Pallas route makes that explicit with a stop_gradient around its inputs.
     """
     from . import mxu_intersect as mxu
 
@@ -176,7 +202,15 @@ def closest_hit_brute(
     R = o.shape[0]
     carry = (jnp.full((R,), C.BIG, jnp.float32), jnp.full((R,), -1, jnp.int32))
     if prims.n_tri > 0:
-        if prims.tri_ids.shape[0] >= MXU_MIN:
+        if _use_pallas(prims.tri_ids.shape[0]):
+            from . import pallas_intersect as pk
+
+            sg = jax.lax.stop_gradient
+            t, pid = pk.triangle_closest(
+                sg(prims.tri_mo), sg(prims.tri_md), prims.tri_ids,
+                sg(o), sg(d))
+            carry = _fold_pair(carry, t, pid)
+        elif prims.tri_ids.shape[0] >= MXU_MIN:
             carry = _typed_min_tables(
                 lambda mo, md, o_, d_: mxu.tri_t(mo, md, o_, d_),
                 (prims.tri_mo.reshape(-1, 3, 4),
@@ -186,7 +220,15 @@ def closest_hit_brute(
             carry = _typed_min(_triangle_t, prims.tri_p, prims.tri_ids, o, d,
                                chunk, carry)
     if prims.n_sph > 0:
-        if prims.sph_ids.shape[0] >= MXU_MIN:
+        if _use_pallas(prims.sph_ids.shape[0]):
+            from . import pallas_intersect as pk
+
+            sg = jax.lax.stop_gradient
+            t, pid = pk.sphere_closest(
+                sg(prims.sph_p[:, 0:3]), sg(prims.sph_k), prims.sph_ids,
+                sg(o), sg(d))
+            carry = _fold_pair(carry, t, pid)
+        elif prims.sph_ids.shape[0] >= MXU_MIN:
             carry = _typed_min_tables(
                 lambda cs, ks, o_, d_: mxu.sphere_t(cs, ks, o_, d_),
                 (prims.sph_p[:, 0:3], prims.sph_k),

@@ -1,27 +1,39 @@
 """Pallas TPU kernels: fused brute-force intersection + running-min reduce.
 
 The XLA path (ops/intersect.py, ops/mxu_intersect.py) materializes [R, chunk]
-hit-t maps between the matmul and the argmin. These kernels keep the whole
-chunk loop in VMEM: the primitive tables stream through a fori loop against a
-ray tile that never leaves the chip, and only the final (t, id) pair per ray
-is written back — one [R]-sized store instead of [R, K] traffic.
+hit-t maps in HBM between the intersection math and the argmin — at
+balls_high scale (262k rays x 7.4k spheres) that is ~8 GB of round-trip
+traffic per sweep. These kernels keep everything in VMEM: the primitive
+table streams through a fori_loop 128 lanes at a time against a resident ray
+tile, and only the final (t, position) pair per ray is written back — one
+[R]-sized store instead of [R, K] traffic. Measured on v5e with a
+chained-dependency protocol (see CLAUDE.md on benchmark dedup): sphere
+133 ms vs 218 ms XLA per 262k x 7.4k sweep (1.6x); triangle 249 ms vs
+716 ms XLA per 65k x 100k sweep (2.9x).
 
-Layout: rays ride the sublane axis (TILE_R per program), primitives the lane
-axis (128 per chunk — one VPU/MXU lane block). Grid = ray tiles.
+Why the VPU and not the MXU: the per-(ray, primitive) "matmuls" here have
+contraction dimension 3-8, so an MXU formulation wastes >=94% of the systolic
+array — and the MXU's native bf16 multiply is unusable anyway (one-pass
+DEFAULT precision flips closest-hit winners on 40% of rays on a dense random
+scene; interpret mode hides it because CPU matmuls are f32). A previous
+matmul revision of this file needed Precision.HIGHEST (6-pass) to match the
+XLA winners and the 6x multiply passes ate the entire win. The VPU is
+natively f32: each dot term is 3
+broadcast FMAs of a [TILE_R, 1] ray column against a [1, LANE] primitive
+row, bit-comparable to the XLA formulas.
+
+Winner tracking (Mosaic rejects int32 sublane broadcasts in loop bodies, so
+everything stays f32): a per-lane-slot running (t, table position) pair is
+elementwise-folded across chunks — strict <, so the earliest chunk wins ties,
+matching the reference's first-in-scan-order rule (scene order = ascending
+table position) — with ONE cross-lane reduce at the very end. The object-id
+gather from the winning position happens in XLA outside the kernel.
 
 Both kernels reproduce the exact reference semantics of their XLA twins
 (sphere: scene.cpp:149-172 smaller-positive-root; triangle: Baldwin-Weber
 form of Möller-Trumbore with the |n·d| > EPSILON det cutoff and t > EPSILON,
-scene.cpp:55-88) and are validated against them in interpret mode on CPU
-(tests/test_pallas_kernels.py).
-
-STATUS: compiled + validated in interpret mode; on-device execution through
-the current remote-TPU tunnel dies with an opaque terminal-side
-RESOURCE_EXHAUSTED regardless of tile/VMEM sizing (tried 1-D and (8,128)
-output layouts, TILE_R 256/1024, inner subtiling, vmem_limit 14-100MB), so
-they are not wired into the default path yet; the XLA/MXU path
-(ops/mxu_intersect.py) is the production route. Revisit on a directly
-attached chip.
+scene.cpp:55-88); validated against them in interpret mode on CPU
+(tests/test_pallas_kernels.py) and against the XLA winners on device.
 """
 from __future__ import annotations
 
@@ -34,109 +46,75 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core import constants as C
 
-TILE_R = 1024   # rays per program; outputs block as (8, 128)
-SUB_R = 256     # rays per inner subtile — bounds live VMEM temps to [256,128]
-LANE = 128      # primitives per inner step
-
 _EPS = C.EPSILON
 
+TILE_R = 1024   # rays per program; output block (8, 128)
+LANE = 128      # primitives per inner fori step
 
-def _sphere_body(o, d, cs, kk, valid):
-    """[TILE_R, LANE] hit t for one sphere chunk; BIG on miss."""
-    oc = jnp.dot(o, cs.T, preferred_element_type=jnp.float32)
-    dc = jnp.dot(d, cs.T, preferred_element_type=jnp.float32)
-    a = jnp.sum(d * d, -1)[:, None]
-    do = jnp.sum(d * o, -1)[:, None]
-    oo = jnp.sum(o * o, -1)[:, None]
-    b = 2.0 * (do - dc)
-    cc = oo - 2.0 * oc + kk[None, :]
-    delta = b * b - 4.0 * a * cc
-    pos = delta > 0.0
-    sq = jnp.where(pos, jnp.sqrt(jnp.where(pos, delta, 1.0)), 0.0)
-    inv2a = 0.5 / a
-    t0 = (-b - sq) * inv2a
-    t1 = (-b + sq) * inv2a
-    lo = jnp.minimum(t0, t1)
-    hi = jnp.maximum(t0, t1)
-    t = jnp.where(lo < 0.0, hi, lo)
-    ok = (delta >= 0.0) & (t >= 0.0) & valid[None, :]
-    return jnp.where(ok, t, C.BIG)
+_NOPOS = float(2.0 ** 30)
 
 
-def _sphere_kernel(o_ref, d_ref, c_ref, k_ref, ids_ref, t_ref, id_ref):
-    n_chunks = c_ref.shape[0]        # tables pre-chunked [n_chunks, LANE, ...]
-
-    for sub in range(TILE_R // SUB_R):
-        o = o_ref[sub * SUB_R:(sub + 1) * SUB_R, :]   # [SUB_R, 3]
-        d = d_ref[sub * SUB_R:(sub + 1) * SUB_R, :]
-
-        def body(ci, carry):
-            t_best, id_best = carry
-            cs = c_ref[ci]           # [LANE, 3]
-            kk = k_ref[ci]           # [LANE]
-            ids = ids_ref[ci]
-            t = _sphere_body(o, d, cs, kk, ids >= 0)
-            # gather-free reduce (Mosaic has no in-kernel gather): min over
-            # lanes, then the smallest id among exact-min lanes — the
-            # reference's first-in-order tie rule for an ascending id table.
-            t_min = jnp.min(t, axis=-1)
-            pid = jnp.min(
-                jnp.where(t == t_min[:, None], ids[None, :],
-                          jnp.int32(2**30)),
-                axis=-1)
-            better = t_min < t_best
-            return (jnp.where(better, t_min, t_best),
-                    jnp.where(better, pid, id_best))
-
-        init = (jnp.full((SUB_R,), C.BIG, jnp.float32),
-                jnp.full((SUB_R,), -1, jnp.int32))
-        t_best, id_best = jax.lax.fori_loop(0, n_chunks, body, init)
-        rows = SUB_R // LANE
-        t_ref[sub * rows:(sub + 1) * rows, :] = t_best.reshape(rows, LANE)
-        id_ref[sub * rows:(sub + 1) * rows, :] = id_best.reshape(rows, LANE)
+def _finish(t_slot, pos_slot, t_ref, pos_ref):
+    """Single cross-lane reduce + lowest-position tie-break, then store."""
+    t_best = jnp.min(t_slot, axis=-1)
+    pos_best = jnp.min(
+        jnp.where(t_slot == t_best[:, None], pos_slot, _NOPOS), axis=-1)
+    pos_best = jnp.where(t_best >= C.BIG, -1.0, pos_best)
+    rows = t_ref.shape[0]
+    t_ref[:] = t_best.reshape(rows, LANE)
+    pos_ref[:] = pos_best.reshape(rows, LANE)
 
 
-def _tri_kernel(o_ref, d_ref, mo_ref, md_ref, ids_ref, t_ref, id_ref):
-    n_chunks = mo_ref.shape[0]       # tables pre-chunked [n_chunks, ...]
+def _fold(t, ci, iota, carry):
+    """Fold one [TILE_R, LANE] t map into the per-lane-slot running min."""
+    t_slot, pos_slot = carry
+    ppos = iota + float(LANE) * ci.astype(jnp.float32)
+    better = t < t_slot
+    return (jnp.where(better, t, t_slot),
+            jnp.where(better, ppos, pos_slot))
 
-    for sub in range(TILE_R // SUB_R):
-        o = o_ref[sub * SUB_R:(sub + 1) * SUB_R, :]   # [SUB_R, 3]
-        d = d_ref[sub * SUB_R:(sub + 1) * SUB_R, :]
-        o4 = jnp.concatenate([o, jnp.ones((o.shape[0], 1), o.dtype)], -1)
 
-        def body(ci, carry):
-            t_best, id_best = carry
-            mo = mo_ref[ci]          # [3*LANE, 4]
-            md = md_ref[ci]          # [3*LANE, 3]
-            ids = ids_ref[ci]        # [LANE]
-            s_o = jnp.dot(o4, mo.T, preferred_element_type=jnp.float32)
-            s_d = jnp.dot(d, md.T, preferred_element_type=jnp.float32)
-            s_o = s_o.reshape(SUB_R, LANE, 3)
-            s_d = s_d.reshape(SUB_R, LANE, 3)
-            den = s_d[..., 0]
-            ok = jnp.abs(den) > _EPS
-            inv = 1.0 / jnp.where(ok, den, 1.0)
-            t = -s_o[..., 0] * inv
-            u = s_o[..., 1] + t * s_d[..., 1]
-            v = s_o[..., 2] + t * s_d[..., 2]
-            ok &= (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
-            ok &= (t > _EPS) & (ids >= 0)[None, :]
-            t = jnp.where(ok, t, C.BIG)
-            t_min = jnp.min(t, axis=-1)
-            pid = jnp.min(
-                jnp.where(t == t_min[:, None], ids[None, :],
-                          jnp.int32(2**30)),
-                axis=-1)
-            better = t_min < t_best
-            return (jnp.where(better, t_min, t_best),
-                    jnp.where(better, pid, id_best))
+def _sphere_kernel(om_ref, dm_ref, a_ref, t_ref, pos_ref):
+    n_chunks = a_ref.shape[1] // LANE
+    om = om_ref[:]                      # [TILE_R, 8]: [o, oo, 2do, 4a, -1/2a, 0]
+    dm = dm_ref[:]                      # [TILE_R, 8]: [d, 0, ...]
+    ox, oy, oz = om[:, 0:1], om[:, 1:2], om[:, 2:3]
+    dx, dy, dz = dm[:, 0:1], dm[:, 1:2], dm[:, 2:3]
+    oo = om[:, 3:4]
+    do2 = om[:, 4:5]
+    a4 = om[:, 5:6]
+    minv2a = om[:, 6:7]
+    iota = jax.lax.broadcasted_iota(
+        jnp.int32, (TILE_R, LANE), 1).astype(jnp.float32)
 
-        init = (jnp.full((SUB_R,), C.BIG, jnp.float32),
-                jnp.full((SUB_R,), -1, jnp.int32))
-        t_best, id_best = jax.lax.fori_loop(0, n_chunks, body, init)
-        rows = SUB_R // LANE
-        t_ref[sub * rows:(sub + 1) * rows, :] = t_best.reshape(rows, LANE)
-        id_ref[sub * rows:(sub + 1) * rows, :] = id_best.reshape(rows, LANE)
+    def body(ci, carry):
+        sl = pl.ds(ci * LANE, LANE)
+        cx = a_ref[0:1, sl]             # [1, LANE] — rows hold -2*center
+        cy = a_ref[1:2, sl]
+        cz = a_ref[2:3, sl]
+        kk = a_ref[3:4, sl]
+        oc2 = ox * cx + oy * cy + oz * cz      # [TILE_R, LANE] = -2 o.c
+        dc2 = dx * cx + dy * cy + dz * cz      # = -2 d.c
+        b = do2 + dc2                          # 2 d.(o - c)
+        cc = (oo + kk) + oc2                   # (o-c).(o-c) - r^2, expanded
+        delta = b * b - a4 * cc
+        hit = delta > 0.0
+        sq = jnp.sqrt(jnp.where(hit, delta, 1.0))
+        # a > 0, minv2a = -1/(2a) < 0. The smaller root t0 = (b+sq)*minv2a
+        # is negative iff b+sq > 0, in which case the reference takes the
+        # larger root (b-sq)*minv2a — one select on the sq sign:
+        s = jnp.where(b + sq > 0.0, -sq, sq)
+        t = (b + s) * minv2a
+        ok = hit & (t >= 0.0)
+        # zero-padded table entries can never hit (delta = 4(do^2 - a*oo)
+        # <= 0 by Cauchy-Schwarz), so no validity lane mask is needed
+        t = jnp.where(ok, t, C.BIG)
+        return _fold(t, ci, iota, carry)
+
+    init = (jnp.full((TILE_R, LANE), C.BIG, jnp.float32),
+            jnp.full((TILE_R, LANE), -1.0, jnp.float32))
+    t_slot, pos_slot = jax.lax.fori_loop(0, n_chunks, body, init)
+    _finish(t_slot, pos_slot, t_ref, pos_ref)
 
 
 def _pad_rays(o, d):
@@ -150,72 +128,154 @@ def _pad_rays(o, d):
     return o, d, R
 
 
+def _pad_prims(arrs, n, mult):
+    pad = (-n) % mult
+    if pad:
+        arrs = [jnp.concatenate([a, jnp.zeros((pad,) + a.shape[1:], a.dtype)])
+                for a in arrs]
+    return arrs, n + pad
+
+
+def _ray_lhs(o, d):
+    """Pack per-ray columns + precomputed quadratic scalars: om/dm [R, 8]."""
+    a = jnp.sum(d * d, -1, keepdims=True)
+    do = jnp.sum(d * o, -1, keepdims=True)
+    oo = jnp.sum(o * o, -1, keepdims=True)
+    zero = jnp.zeros_like(a)
+    om = jnp.concatenate([o, oo, 2.0 * do, 4.0 * a, -0.5 / a, zero], -1)
+    dm = jnp.concatenate([d, zero, zero, zero, zero, zero], -1)
+    return om, dm
+
+
+def _gather_ids(ids, pos, R):
+    pos = pos.reshape(-1)[:R].astype(jnp.int32)
+    safe = jnp.maximum(pos, 0)
+    return jnp.where(pos >= 0, ids[safe], -1)
+
+
+_RAY_SPEC = pl.BlockSpec((TILE_R, 8), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+
+_OUT_SPECS = (
+    pl.BlockSpec((TILE_R // LANE, LANE), lambda i: (i, 0),
+                 memory_space=pltpu.VMEM),
+    pl.BlockSpec((TILE_R // LANE, LANE), lambda i: (i, 0),
+                 memory_space=pltpu.VMEM),
+)
+
+
+def _out_shape(n_rays):
+    return (
+        jax.ShapeDtypeStruct((n_rays // LANE, LANE), jnp.float32),
+        jax.ShapeDtypeStruct((n_rays // LANE, LANE), jnp.float32),
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def sphere_closest(centers, k_const, ids, o, d, interpret: bool = False):
-    """Fused sphere closest-hit: (t [R], id [R]). K must be a LANE multiple."""
+    """Fused sphere closest-hit: (t [R], id [R])."""
     o, d, R = _pad_rays(o, d)
-    n_tiles = o.shape[0] // TILE_R
-    grid = (n_tiles,)
-    t, pid = pl.pallas_call(
+    K = centers.shape[0]
+    (centers, k_const), Kp = _pad_prims([centers, k_const], K, LANE)
+    om, dm = _ray_lhs(o, d)
+    # A = [8, Kp]: rows -2cx -2cy -2cz k, zero-padded to the f32 sublane
+    # tile (the -2 is folded into the table so the kernel's dot terms land
+    # directly on the quadratic's b and c contributions)
+    A = jnp.concatenate([-2.0 * centers.T, k_const[None, :],
+                         jnp.zeros((4, Kp), jnp.float32)], 0)
+    t, pos = pl.pallas_call(
         _sphere_kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((TILE_R, 3), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_R, 3), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((TILE_R // LANE, LANE), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_R // LANE, LANE), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((o.shape[0] // LANE, LANE), jnp.float32),
-            jax.ShapeDtypeStruct((o.shape[0] // LANE, LANE), jnp.int32),
-        ),
+        grid=(o.shape[0] // TILE_R,),
+        in_specs=[_RAY_SPEC, _RAY_SPEC,
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=_OUT_SPECS,
+        out_shape=_out_shape(o.shape[0]),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=14 * 1024 * 1024),
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(o, d, centers.reshape(-1, LANE, 3), k_const.reshape(-1, LANE),
-      ids.reshape(-1, LANE))
-    return t.reshape(-1)[:R], pid.reshape(-1)[:R]
+    )(om, dm, A)
+    return t.reshape(-1)[:R], _gather_ids(ids, pos, R)
+
+
+# ---------------------------------------------------------------------------
+# triangle (Baldwin-Weber affine functionals, see ops/mxu_intersect.py)
+
+
+def _tri_kernel(m_ref, o_ref, d_ref, t_ref, pos_ref):
+    n_chunks = m_ref.shape[1] // LANE
+    om = o_ref[:]                       # [TILE_R, 8] = [o, 0...]
+    dm = d_ref[:]
+    ox, oy, oz = om[:, 0:1], om[:, 1:2], om[:, 2:3]
+    dx, dy, dz = dm[:, 0:1], dm[:, 1:2], dm[:, 2:3]
+    iota = jax.lax.broadcasted_iota(
+        jnp.int32, (TILE_R, LANE), 1).astype(jnp.float32)
+
+    def body(ci, carry):
+        sl = pl.ds(ci * LANE, LANE)
+
+        def plane(r0):
+            """Affine functional rows r0..r0+3 (x,y,z,w) applied to
+            homogeneous o, and its linear part applied to d."""
+            mx = m_ref[r0:r0 + 1, sl]
+            my = m_ref[r0 + 1:r0 + 2, sl]
+            mz = m_ref[r0 + 2:r0 + 3, sl]
+            mw = m_ref[r0 + 3:r0 + 4, sl]
+            so = ox * mx + oy * my + oz * mz + mw
+            sd = dx * mx + dy * my + dz * mz
+            return so, sd
+
+        so_t, sd_t = plane(0)
+        so_u, sd_u = plane(4)
+        so_v, sd_v = plane(8)
+        ok = jnp.abs(sd_t) > _EPS       # |det_MT| = |n.d| cutoff
+        inv = 1.0 / jnp.where(ok, sd_t, 1.0)
+        t = -so_t * inv
+        u = so_u + t * sd_u
+        v = so_v + t * sd_v
+        ok &= (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
+        ok &= t > _EPS
+        # zero-padded rows: sd_t = 0 fails the cutoff, never hit
+        t = jnp.where(ok, t, C.BIG)
+        return _fold(t, ci, iota, carry)
+
+    init = (jnp.full((TILE_R, LANE), C.BIG, jnp.float32),
+            jnp.full((TILE_R, LANE), -1.0, jnp.float32))
+    t_slot, pos_slot = jax.lax.fori_loop(0, n_chunks, body, init)
+    _finish(t_slot, pos_slot, t_ref, pos_ref)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def triangle_closest(mo, md, ids, o, d, interpret: bool = False):
-    """Fused Baldwin-Weber triangle closest-hit: (t [R], id [R])."""
+    """Fused Baldwin-Weber triangle closest-hit: (t [R], id [R]).
+
+    mo: [K, 3, 4] affine functionals (rows: t-plane, u-plane, v-plane applied
+    to homogeneous o), md: [K, 3, 3] (their linear parts, applied to d; equal
+    to mo[:, :, :3] by construction) — the tables built by
+    ops/mxu_intersect.triangle_functionals.
+    """
     o, d, R = _pad_rays(o, d)
-    n_tiles = o.shape[0] // TILE_R
-    t, pid = pl.pallas_call(
+    mo = mo.reshape(-1, 3, 4)
+    K = mo.shape[0]
+    (mo,), Kp = _pad_prims([mo], K, LANE)
+    del md  # identical to mo[:, :, :3]; the kernel reuses mo's rows
+    # M = [16, Kp]: rows 0-3 t-plane (x,y,z,w), 4-7 u-plane, 8-11 v-plane,
+    # 12-15 zero padding to the f32 sublane tile
+    M = jnp.concatenate([
+        jnp.transpose(mo, (1, 2, 0)).reshape(12, Kp),
+        jnp.zeros((4, Kp), jnp.float32),
+    ], 0)
+    zero5 = jnp.zeros((o.shape[0], 5), o.dtype)
+    o8 = jnp.concatenate([o, zero5], -1)
+    d8 = jnp.concatenate([d, zero5], -1)
+    t, pos = pl.pallas_call(
         _tri_kernel,
-        grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((TILE_R, 3), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_R, 3), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((TILE_R // LANE, LANE), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_R // LANE, LANE), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((o.shape[0] // LANE, LANE), jnp.float32),
-            jax.ShapeDtypeStruct((o.shape[0] // LANE, LANE), jnp.int32),
-        ),
+        grid=(o.shape[0] // TILE_R,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  _RAY_SPEC, _RAY_SPEC],
+        out_specs=_OUT_SPECS,
+        out_shape=_out_shape(o.shape[0]),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=14 * 1024 * 1024),
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(o, d, mo.reshape(-1, 3 * LANE, 4), md.reshape(-1, 3 * LANE, 3),
-      ids.reshape(-1, LANE))
-    return t.reshape(-1)[:R], pid.reshape(-1)[:R]
+    )(M, o8, d8)
+    return t.reshape(-1)[:R], _gather_ids(ids, pos, R)
