@@ -9,10 +9,16 @@ against a recorded single-thread CPU-class anchor for the same workload: the
 reference's per-ray C++ loop executes ~0.5-2 Mrays/s on one core for
 mount_low-class scenes; we use 1.0 Mrays/s as the anchor (documented in
 BASELINE.md's workload envelope).
+
+Timing protocol: slope of an on-device frame loop with hard scalar-readback
+sync (utils/timing.py). Through the remote-TPU tunnel, per-call
+``block_until_ready`` can return before execution completes and identical
+launches are deduped — both make naive per-call timing read absurdly low.
+The slope method cancels every fixed per-dispatch cost and serializes frames
+on-device, so the number is real chip throughput.
 """
 import json
 import sys
-import time
 
 import numpy as np
 
@@ -21,6 +27,7 @@ CPU_ANCHOR_MRAYS = 1.0  # single-core reference-class anchor (see docstring)
 
 def main():
     import jax
+    import jax.numpy as jnp
 
     sys.path.insert(0, ".")
     from u_4a_2s_p3d_raytracer_template2_tpu.utils.profiling import (
@@ -29,12 +36,10 @@ def main():
 
     enable_compilation_cache()
 
-    sys.path.insert(0, ".")
     import u_4a_2s_p3d_raytracer_template2_tpu as rt
     from u_4a_2s_p3d_raytracer_template2_tpu.models.scenes import mount_scene
-    from u_4a_2s_p3d_raytracer_template2_tpu.models.whitted import (
-        render_tile_jit,
-    )
+    from u_4a_2s_p3d_raytracer_template2_tpu.models.whitted import render_tile
+    from u_4a_2s_p3d_raytracer_template2_tpu.utils.timing import frame_time
 
     res = 512
     scene = rt.build_scene(mount_scene(res=res))
@@ -43,34 +48,17 @@ def main():
 
     ys, xs = np.meshgrid(np.arange(res, dtype=np.float32),
                          np.arange(res, dtype=np.float32), indexing="ij")
-    py = jax.numpy.asarray(ys.reshape(-1))
+    py = jnp.asarray(ys.reshape(-1))
+    px = jnp.asarray(xs.reshape(-1))
 
-    # pre-stage varying inputs on device: identical (executable, inputs)
-    # pairs get deduped by the remote-TPU tunnel (absurd 0.1 ms timings),
-    # so each iteration gets a distinct sub-pixel-shifted px array — same
-    # workload, different bits. Keys are pre-split for the same reason.
-    n_iters = 12
-    pxs = [jax.numpy.asarray(xs.reshape(-1) + i * 0.37) for i in range(n_iters)]
-    keys = list(jax.random.split(key, n_iters))
-    for a in pxs + keys:
-        a.block_until_ready()
+    def render_scalar(i):
+        # sub-pixel drift by loop index: every frame is distinct work, the
+        # scalar fold makes each frame's completion observable
+        img = render_tile(scene, px + 0.37 * i.astype(jnp.float32), py, cfg,
+                          key)
+        return img.sum()
 
-    # compile + warmup
-    out = render_tile_jit(scene, pxs[0], py, cfg, keys[0])
-    out.block_until_ready()
-
-    # median per-call blocking latency over distinct-input frames. Distinct
-    # inputs defeat the tunnel's (executable, inputs) dedup; per-call
-    # blocking defeats multi-frame overlap illusions; the median rides out
-    # link-latency spikes. Includes one tunnel RTT per frame, so this is a
-    # conservative lower bound on chip throughput.
-    times = []
-    for i in range(n_iters):
-        t0 = time.perf_counter()
-        out = render_tile_jit(scene, pxs[i], py, cfg, keys[i])
-        out.block_until_ready()
-        times.append(time.perf_counter() - t0)
-    dt = float(np.median(times))
+    dt = frame_time(render_scalar, n_lo=2, n_hi=10, reps=3)
 
     # ray accounting (BASELINE.md): primary + per-light shadow at the top
     # level; secondary levels add reflect/refract + their shadow rays. We

@@ -142,19 +142,23 @@ def _level_step(scene: Scene, rays: Rays, active, ior_in, cfg: RenderConfig,
     hit = active & (obj_id >= 0)
 
     params, ptype, mat_id = intersect.gather_prims(scene.prims, obj_id)
+    # static type presence prunes absent-type formulas from the jit program
+    present = (scene.prims.n_sph > 0, scene.prims.n_tri > 0,
+               scene.prims.n_pl > 0, scene.prims.n_box > 0)
     # differentiable re-intersection of the winner primitive
-    t = intersect.per_ray_t(params, ptype, rays.origin, rays.direction)
+    t = intersect.per_ray_t(params, ptype, rays.origin, rays.direction,
+                            present)
     t = jnp.where(hit, t, 1.0)
 
     hit_point = rays.origin + rays.direction * t[:, None]
     # normal at hit, then re-evaluated at the ε-offset point (main.cpp:587-589)
     n0 = normalize(
         intersect.per_ray_normal(params, ptype, hit_point, rays.origin,
-                                 rays.direction), eps=1e-20)
+                                 rays.direction, present), eps=1e-20)
     precise = hit_point + n0 * _EPS
     normal = normalize(
         intersect.per_ray_normal(params, ptype, precise, rays.origin,
-                                 rays.direction), eps=1e-20)
+                                 rays.direction, present), eps=1e-20)
 
     mat = shade.gather_materials(scene.materials, mat_id)
 
