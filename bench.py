@@ -43,7 +43,12 @@ def main():
 
     res = 512
     scene = rt.build_scene(mount_scene(res=res))
-    cfg = rt.RenderConfig()
+    # compacted-wavefront engine: measured 86.8 ms vs the level sweep's
+    # 101 ms for this frame on v5e (the sweep won before the dense one-hot
+    # gather fix; with gathers fixed, the wavefront's 4x fewer lane-slots
+    # beat its compaction overhead). Exact vs the sweep for this
+    # deterministic config (tests/test_wavefront.py).
+    cfg = rt.RenderConfig(engine="wavefront")
     key = jax.random.PRNGKey(0)
 
     ys, xs = np.meshgrid(np.arange(res, dtype=np.float32),

@@ -71,3 +71,40 @@ def test_pallas_triangle_matches_mxu():
                                  interpret=True)
     _assert_mostly_close(np.asarray(t), t_want)
     assert (np.asarray(pid) == id_want).mean() > 0.995
+
+
+@pytest.mark.parametrize("drop", ["none", "tri", "sph"])
+def test_pallas_small_scene_matches_brute(drop):
+    """Fused tri+sphere small-scene kernel vs the XLA closest_hit_brute."""
+    from u_4a_2s_p3d_raytracer_template2_tpu.core.types import Rays
+    from u_4a_2s_p3d_raytracer_template2_tpu.ops import intersect
+
+    scene = _scene_tables(n=40, seed=5)
+    p = scene.prims
+    rays = make_rays(600, seed=6)
+
+    tri = drop != "tri"
+    sph = drop != "sph"
+    mo = p.tri_mo if tri else jnp.zeros((0, 4), jnp.float32)
+    tids = p.tri_ids if tri else jnp.zeros((0,), jnp.int32)
+    cs = p.sph_p[:, 0:3] if sph else jnp.zeros((0, 3), jnp.float32)
+    kc = p.sph_k if sph else jnp.zeros((0,), jnp.float32)
+    sids = p.sph_ids if sph else jnp.zeros((0,), jnp.int32)
+
+    t, pid = pk.small_scene_closest(mo, tids, cs, kc, sids, rays.origin,
+                                    rays.direction, interpret=True)
+
+    R = rays.origin.shape[0]
+    carry = (jnp.full((R,), 1e30, jnp.float32), jnp.full((R,), -1, jnp.int32))
+    if tri:
+        carry = intersect._typed_min(intersect._triangle_t, p.tri_p,
+                                     p.tri_ids, rays.origin, rays.direction,
+                                     2048, carry)
+    if sph:
+        carry = intersect._typed_min(intersect._sphere_t, p.sph_p,
+                                     p.sph_ids, rays.origin, rays.direction,
+                                     2048, carry)
+    t_want, id_want = np.asarray(carry[0]), np.asarray(carry[1])
+
+    _assert_mostly_close(np.asarray(t), t_want)
+    assert (np.asarray(pid) == id_want).mean() > 0.995

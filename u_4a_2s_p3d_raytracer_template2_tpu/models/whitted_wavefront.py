@@ -18,6 +18,13 @@ only nonlinearities in the reference recursion are the depth-cap clamp
 clamp in render_tile. Stochastic features (soft-shadow jitter) consume RNG
 in a different order, so those match only in distribution.
 
+On-chip standings (v5e, mount_low 512² depth-4): before the dense one-hot
+gather fix (ops/intersect.gather_prims) the sweep won; after it, this engine
+renders the frame in 86.8 ms vs the sweep's 101 ms — the 4x fewer lane-slots
+now beat the compaction scatters. bench.py uses engine='wavefront'; the
+library default stays 'sweep' (exact for every config, including the
+stochastic ones where the wavefront only matches in distribution).
+
 Capacity: ``ceil(R · capacity_factor)``. A child beyond capacity is dropped
 (its throughput is lost). factor=1 is lossless whenever active children per
 level never exceed the primary count — true for every corpus scene

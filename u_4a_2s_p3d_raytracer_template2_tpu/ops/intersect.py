@@ -212,6 +212,7 @@ def closest_hit_brute(
     o, d = rays.origin, rays.direction
     R = o.shape[0]
     carry = (jnp.full((R,), C.BIG, jnp.float32), jnp.full((R,), -1, jnp.int32))
+
     if prims.n_tri > 0:
         if _use_pallas(prims.tri_ids.shape[0]):
             from . import pallas_intersect as pk
@@ -316,7 +317,38 @@ def any_hit_brute(
 # SURVEY.md §7 item 5.
 
 
+# Row gathers (x[idx] over [N,k] tables) lower to per-row dynamic-slice loops
+# on TPU — measured at ~7 ms per 262k-ray level on v5e, which dominated the
+# whole mount frame. For small tables a one-hot contraction runs on the MXU
+# instead: [R,N] @ [N,k] at HIGHEST precision (f32-accurate) is exact for a
+# 0/1 left operand. Above this row count the matmul's O(R·N) work loses to
+# the O(R) gather.
+GATHER_DENSE_MAX = 512
+
+
+def _onehot_rows(idx: jnp.ndarray, n: int) -> jnp.ndarray:
+    """[R,n] f32 selection matrix; negative idx rows are all-zero."""
+    return (idx[:, None] == jnp.arange(n, dtype=idx.dtype)[None, :]).astype(
+        jnp.float32)
+
+
+def _dense_select(onehot: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:
+    return jnp.matmul(onehot, table, precision=jax.lax.Precision.HIGHEST)
+
+
 def gather_prims(prims: Primitives, obj_id: jnp.ndarray) -> tuple:
+    N = prims.params.shape[0]
+    if N <= GATHER_DENSE_MAX:
+        oh = _onehot_rows(obj_id, N)
+        params = _dense_select(oh, prims.params)
+        both = _dense_select(
+            oh,
+            jnp.stack([prims.ptype.astype(jnp.float32),
+                       prims.mat_id.astype(jnp.float32)], axis=-1))
+        ptype = jnp.round(both[:, 0]).astype(jnp.int32)
+        mat = jnp.round(both[:, 1]).astype(jnp.int32)
+        ptype = jnp.where(obj_id < 0, C.INVALID, ptype)
+        return params, ptype, mat
     safe = jnp.maximum(obj_id, 0)
     params = prims.params[safe]          # [R,12]
     ptype = jnp.where(obj_id < 0, C.INVALID, prims.ptype[safe])

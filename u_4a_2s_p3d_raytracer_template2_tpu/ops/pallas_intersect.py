@@ -244,6 +244,158 @@ def _tri_kernel(m_ref, o_ref, d_ref, t_ref, pos_ref):
     _finish(t_slot, pos_slot, t_ref, pos_ref)
 
 
+# ---------------------------------------------------------------------------
+# fused small-scene kernel: triangles + spheres in ONE pallas_call
+#
+# Hypothesis was that for corpus-scale scenes (mount: 8 tris + 4 spheres)
+# the per-type XLA sweeps waste HBM passes on tables that fit in two VMEM
+# tiles. MEASURED on v5e (mount_low 512^2 depth-4 frame): the fused kernel
+# REGRESSES the frame 1.6x (5.18 -> 3.19 Mrays/s headline) — at 12
+# primitives the XLA sweeps fuse into the surrounding shading program, while
+# a pallas_call is a fusion barrier plus fixed launch cost, paid 8x per
+# frame (closest + shadow at each of 4 levels). So this kernel is NOT wired
+# into closest_hit_brute; it stays validated (interpret-mode test) as the
+# starting point for an intermediate-size (256-1024 prims) sweep if a
+# workload shows up there. Positions index the concatenated
+# [tri_pad | sphere_pad] table; triangles occupy lower positions, so the
+# strict-< fold preserves the cross-type tie order of the XLA path
+# (triangle before sphere, ops/intersect.closest_hit_brute).
+
+
+def _tri_fold_body(m_ref, ray_cols, iota, base):
+    ox, oy, oz, dx, dy, dz = ray_cols
+
+    def body(ci, carry):
+        sl = pl.ds(ci * LANE, LANE)
+
+        def plane(r0):
+            mx = m_ref[r0:r0 + 1, sl]
+            my = m_ref[r0 + 1:r0 + 2, sl]
+            mz = m_ref[r0 + 2:r0 + 3, sl]
+            mw = m_ref[r0 + 3:r0 + 4, sl]
+            so = ox * mx + oy * my + oz * mz + mw
+            sd = dx * mx + dy * my + dz * mz
+            return so, sd
+
+        so_t, sd_t = plane(0)
+        so_u, sd_u = plane(4)
+        so_v, sd_v = plane(8)
+        ok = jnp.abs(sd_t) > _EPS
+        inv = 1.0 / jnp.where(ok, sd_t, 1.0)
+        t = -so_t * inv
+        u = so_u + t * sd_u
+        v = so_v + t * sd_v
+        ok &= (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
+        ok &= t > _EPS
+        t = jnp.where(ok, t, C.BIG)
+        return _fold(t, ci + base / LANE, iota, carry)
+
+    return body
+
+
+def _sph_fold_body(a_ref, ray_cols, quad, iota, base):
+    ox, oy, oz, dx, dy, dz = ray_cols
+    oo, do2, a4, minv2a = quad
+
+    def body(ci, carry):
+        sl = pl.ds(ci * LANE, LANE)
+        cx = a_ref[0:1, sl]
+        cy = a_ref[1:2, sl]
+        cz = a_ref[2:3, sl]
+        kk = a_ref[3:4, sl]
+        oc2 = ox * cx + oy * cy + oz * cz
+        dc2 = dx * cx + dy * cy + dz * cz
+        b = do2 + dc2
+        cc = (oo + kk) + oc2
+        delta = b * b - a4 * cc
+        hit = delta > 0.0
+        sq = jnp.sqrt(jnp.where(hit, delta, 1.0))
+        s = jnp.where(b + sq > 0.0, -sq, sq)
+        t = (b + s) * minv2a
+        ok = hit & (t >= 0.0)
+        t = jnp.where(ok, t, C.BIG)
+        return _fold(t, ci + base / LANE, iota, carry)
+
+    return body
+
+
+def _make_small_kernel(n_tri_pad: int, n_sph_pad: int):
+    def kernel(m_ref, a_ref, om_ref, dm_ref, t_ref, pos_ref):
+        om = om_ref[:]
+        dm = dm_ref[:]
+        ray_cols = (om[:, 0:1], om[:, 1:2], om[:, 2:3],
+                    dm[:, 0:1], dm[:, 1:2], dm[:, 2:3])
+        quad = (om[:, 3:4], om[:, 4:5], om[:, 5:6], om[:, 6:7])
+        iota = jax.lax.broadcasted_iota(
+            jnp.int32, (TILE_R, LANE), 1).astype(jnp.float32)
+        carry = (jnp.full((TILE_R, LANE), C.BIG, jnp.float32),
+                 jnp.full((TILE_R, LANE), -1.0, jnp.float32))
+        if n_tri_pad:
+            carry = jax.lax.fori_loop(
+                0, n_tri_pad // LANE,
+                _tri_fold_body(m_ref, ray_cols, iota, 0.0), carry)
+        if n_sph_pad:
+            carry = jax.lax.fori_loop(
+                0, n_sph_pad // LANE,
+                _sph_fold_body(a_ref, ray_cols, quad, iota,
+                               float(n_tri_pad)), carry)
+        _finish(carry[0], carry[1], t_ref, pos_ref)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def small_scene_closest(mo, tri_ids, centers, k_const, sph_ids, o, d,
+                        interpret: bool = False):
+    """Fused triangle+sphere closest hit for small scenes: (t [R], id [R]).
+
+    mo: [Kt, 3, 4] Baldwin-Weber functionals (may be empty), centers/k_const:
+    sphere table (may be empty). Exact same per-type semantics as
+    triangle_closest / sphere_closest; cross-type ties resolve triangle-first
+    (the concatenated-table position order).
+    """
+    o, d, R = _pad_rays(o, d)
+    om, dm = _ray_lhs(o, d)
+
+    Kt = mo.reshape(-1, 3, 4).shape[0]
+    Ks = centers.shape[0]
+    (mo,), Kt_pad = _pad_prims([mo.reshape(-1, 3, 4)], Kt, LANE)
+    (centers, k_const), Ks_pad = _pad_prims([centers, k_const], Ks, LANE)
+    if Kt == 0:
+        Kt_pad = 0
+    if Ks == 0:
+        Ks_pad = 0
+    M = (jnp.concatenate([
+        jnp.transpose(mo[:Kt_pad], (1, 2, 0)).reshape(12, Kt_pad),
+        jnp.zeros((4, Kt_pad), jnp.float32)], 0)
+        if Kt_pad else jnp.zeros((16, LANE), jnp.float32))
+    A = (jnp.concatenate([
+        -2.0 * centers[:Ks_pad].T, k_const[None, :Ks_pad],
+        jnp.zeros((4, Ks_pad), jnp.float32)], 0)
+        if Ks_pad else jnp.zeros((8, LANE), jnp.float32))
+
+    t, pos = pl.pallas_call(
+        _make_small_kernel(Kt_pad, Ks_pad),
+        grid=(o.shape[0] // TILE_R,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  _RAY_SPEC, _RAY_SPEC],
+        out_specs=_OUT_SPECS,
+        out_shape=_out_shape(o.shape[0]),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(M, A, om, dm)
+    # concatenated position -> global object id
+    all_ids = jnp.concatenate([
+        jnp.pad(tri_ids, (0, Kt_pad - Kt), constant_values=-1),
+        jnp.pad(sph_ids, (0, Ks_pad - Ks), constant_values=-1),
+    ]) if (Kt_pad and Ks_pad) else (
+        jnp.pad(tri_ids, (0, Kt_pad - Kt), constant_values=-1) if Kt_pad
+        else jnp.pad(sph_ids, (0, Ks_pad - Ks), constant_values=-1))
+    return t.reshape(-1)[:R], _gather_ids(all_ids, pos, R)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def triangle_closest(mo, md, ids, o, d, interpret: bool = False):
     """Fused Baldwin-Weber triangle closest-hit: (t [R], id [R]).

@@ -14,6 +14,7 @@ import jax.numpy as jnp
 
 from ..core import constants as C
 from ..core.types import Materials, RenderConfig, Rays, dot, normalize
+from . import intersect
 from .sampling import sample_unit_sphere
 
 _EPS = C.EPSILON
@@ -32,6 +33,20 @@ class MatView(NamedTuple):
 
 
 def gather_materials(materials: Materials, mat_id: jnp.ndarray) -> MatView:
+    M = materials.kd.shape[0]
+    if M <= intersect.GATHER_DENSE_MAX:
+        # one fused [R,M] @ [M,11] MXU contraction instead of 7 per-row
+        # gathers (dynamic row gathers are the slow path on TPU; see
+        # intersect.GATHER_DENSE_MAX)
+        table = jnp.concatenate(
+            [materials.diff_color, materials.kd[:, None],
+             materials.spec_color, materials.ks[:, None],
+             materials.shine[:, None], materials.transmit[:, None],
+             materials.ior[:, None]], axis=-1)
+        rows = intersect._dense_select(
+            intersect._onehot_rows(mat_id, M), table)
+        return MatView(rows[:, 0:3], rows[:, 3], rows[:, 4:7], rows[:, 7],
+                       rows[:, 8], rows[:, 9], rows[:, 10])
     g = lambda a: a[mat_id]
     return MatView(
         g(materials.diff_color), g(materials.kd), g(materials.spec_color),
