@@ -278,6 +278,188 @@ def _sph_kernel(tables, ids2d, cid, act, o_t, d_t):
     return tb, jnp.where(tb < C.BIG, pid, -1)
 
 
+# ---------------------------------------------------------------------------
+# any-hit (shadow) sweeps: the capability of bvh.cpp:348-416 / grid.cpp:313-361
+# in clustered form. Three savings over the closest-hit sweep: (1) the
+# worklist slab test is bounded by max_t, so clusters beyond the light are
+# never fetched (every hit inside satisfies t >= slab entry t0 > max_t);
+# (2) the kernels OR a [T,tile] occlusion mask instead of running the
+# argmin + two take_along_axis winner gathers per cluster; (3) the round
+# loop exits early once every lane is occluded (pad lanes start occluded).
+
+
+def _cluster_slab_bounded(bmin, bmax, o, d, max_t):
+    """[R, Cc] conservative hit mask for cluster AABBs with entry-t bound."""
+    inv = _safe_inv(d)[:, None, :]
+    lo = (bmin[None, :, :] - o[:, None, :]) * inv
+    hi = (bmax[None, :, :] - o[:, None, :]) * inv
+    tmin = jnp.minimum(lo, hi)
+    tmax = jnp.maximum(lo, hi)
+    t0 = jnp.max(tmin, -1)
+    t1 = jnp.min(tmax, -1)
+    return (t0 <= t1) & (t1 > 0.0) & (t0 < max_t)
+
+
+def _sweep_type_any(kernel, tables, ids2d, bmin, bmax, o_t, d_t, occ, max_t):
+    """One type's any-hit sweep. occ: [T, tile] bool carry."""
+    T, tile, _ = o_t.shape
+    Cc = ids2d.shape[0]
+    W = min(ROUND_W, Cc)
+
+    hit = _cluster_slab_bounded(bmin, bmax, o_t.reshape(-1, 3),
+                                d_t.reshape(-1, 3), max_t)
+    hit = hit.reshape(T, tile, Cc).any(axis=1)
+    counts = hit.sum(axis=1)
+    wl = jnp.argsort(~hit, axis=1, stable=True).astype(jnp.int32)
+    n_rounds = (jnp.max(counts) + W - 1) // W
+
+    def round_body(state):
+        r, occ = state
+        w0 = r * W
+        idx = jnp.clip(w0 + jnp.arange(W, dtype=jnp.int32), 0, Cc - 1)
+        cid = wl[:, idx]
+        occ = occ | kernel(tables, ids2d, cid, o_t, d_t, max_t)
+        return (r + 1, occ)
+
+    def round_cond(state):
+        r, occ = state
+        return (r < n_rounds) & ~jnp.all(occ)
+
+    _, occ = jax.lax.while_loop(round_cond, round_body, (jnp.int32(0), occ))
+    return occ
+
+
+def _tri_any_kernel(tables, ids2d, cid, o_t, d_t, max_t):
+    """[T, tile] occlusion OR over W clusters of triangles. Redundant
+    (repeated/padding) cluster tests stay exact: every tested primitive is
+    real, so any t < max_t it produces is a true occlusion."""
+    tri_mo, tri_md = tables
+    T, tile, _ = o_t.shape
+    mo = tri_mo[cid]
+    md = tri_md[cid]
+    ids = ids2d[cid]
+    o4 = jnp.concatenate(
+        [o_t, jnp.ones(o_t.shape[:-1] + (1,), o_t.dtype)], -1)
+
+    def one_cluster(occ, inp):
+        mo_w, md_w, ids_w = inp
+        K = ids_w.shape[1]
+        s_o = jnp.einsum("tra,tfa->trf", o4, mo_w,
+                         precision=mxu._PREC).reshape(T, tile, K, 3)
+        s_d = jnp.einsum("tra,tfa->trf", d_t, md_w,
+                         precision=mxu._PREC).reshape(T, tile, K, 3)
+        den = s_d[..., 0]
+        ok = jnp.abs(den) > C.EPSILON
+        invden = 1.0 / jnp.where(ok, den, 1.0)
+        t = -s_o[..., 0] * invden
+        u = s_o[..., 1] + t * s_d[..., 1]
+        v = s_o[..., 2] + t * s_d[..., 2]
+        ok &= (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
+        ok &= (t > C.EPSILON) & (t < max_t) & (ids_w[:, None, :] >= 0)
+        return occ | jnp.any(ok, axis=-1), None
+
+    init = jnp.zeros((T, tile), bool)
+    occ, _ = jax.lax.scan(
+        one_cluster, init,
+        (mo.swapaxes(0, 1), md.swapaxes(0, 1), ids.swapaxes(0, 1)))
+    return occ
+
+
+def _sph_any_kernel(tables, ids2d, cid, o_t, d_t, max_t):
+    sph_c, sph_k = tables
+    T, tile, _ = o_t.shape
+    cc_all = sph_c[cid]
+    kk_all = sph_k[cid]
+    ids_all = ids2d[cid]
+    a = jnp.sum(d_t * d_t, -1)[..., None]
+    do = jnp.sum(d_t * o_t, -1)[..., None]
+    oo = jnp.sum(o_t * o_t, -1)[..., None]
+    inv2a = 0.5 / a
+
+    def one_cluster(occ, inp):
+        cc, kk, ids = inp
+        oc = jnp.einsum("trc,tkc->trk", o_t, cc, precision=mxu._PREC)
+        dc = jnp.einsum("trc,tkc->trk", d_t, cc, precision=mxu._PREC)
+        b = 2.0 * (do - dc)
+        ccoef = oo - 2.0 * oc + kk[:, None, :]
+        delta = b * b - 4.0 * a * ccoef
+        pos = delta > 0.0
+        sq = jnp.where(pos, jnp.sqrt(jnp.where(pos, delta, 1.0)), 0.0)
+        t0 = (-b - sq) * inv2a
+        t1 = (-b + sq) * inv2a
+        lo, hi = jnp.minimum(t0, t1), jnp.maximum(t0, t1)
+        t = jnp.where(lo < 0.0, hi, lo)
+        ok = (delta >= 0.0) & (t >= 0.0) & (t < max_t) & (ids[:, None, :] >= 0)
+        return occ | jnp.any(ok, axis=-1), None
+
+    init = jnp.zeros((T, tile), bool)
+    occ, _ = jax.lax.scan(
+        one_cluster, init,
+        (cc_all.swapaxes(0, 1), kk_all.swapaxes(0, 1),
+         ids_all.swapaxes(0, 1)))
+    return occ
+
+
+def clustered_any_hit(ct: ClusterTables, prims: Primitives, rays: Rays,
+                      max_t, tile: int = 1024, coherence_sort: bool = True):
+    """Occlusion test via max_t-bounded tile-coherent cluster sweeps. [R] bool.
+
+    Same tiling/coherence machinery as clustered_closest_hit; per-tile
+    worklists only contain clusters whose slab entry is closer than the
+    light, the kernels skip all winner bookkeeping, and the sweep stops
+    early once every lane is occluded.
+    """
+    o, d = rays.origin, rays.direction
+    R = o.shape[0]
+
+    perm = None
+    if coherence_sort and R > tile:
+        world_min = jnp.minimum(
+            jnp.min(ct.tri_bmin, axis=0), jnp.min(ct.sph_bmin, axis=0))
+        world_max = jnp.maximum(
+            jnp.max(ct.tri_bmax, axis=0), jnp.max(ct.sph_bmax, axis=0))
+        key = _coherence_key(o, d, world_min, world_max)
+        perm = jnp.argsort(key)
+        o = o[perm]
+        d = d[perm]
+
+    pad = (-R) % tile
+    if pad:
+        o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
+        d = jnp.concatenate(
+            [d, jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], d.dtype),
+                                 (pad, 3))])
+    T = o.shape[0] // tile
+    o_t = o.reshape(T, tile, 3)
+    d_t = d.reshape(T, tile, 3)
+
+    # pad lanes start occluded so they never block the early exit
+    occ = jnp.zeros((T * tile,), bool).at[R:].set(True).reshape(T, tile)
+    if ct.n_tri_clusters > 0:
+        occ = _sweep_type_any(_tri_any_kernel, (ct.tri_mo, ct.tri_md),
+                              ct.tri_ids, ct.tri_bmin, ct.tri_bmax,
+                              o_t, d_t, occ, max_t)
+    if ct.n_sph_clusters > 0:
+        occ = _sweep_type_any(_sph_any_kernel, (ct.sph_c, ct.sph_k),
+                              ct.sph_ids, ct.sph_bmin, ct.sph_bmax,
+                              o_t, d_t, occ, max_t)
+
+    occ = occ.reshape(-1)[:R]
+    if perm is not None:
+        occ = occ[jnp.argsort(perm)]
+
+    # planes and boxes: dense any-hit on the original ray batch
+    from ..ops.intersect import _typed_any
+
+    if prims.n_pl > 0:
+        occ = _typed_any(_plane_t, prims.pl_p, prims.pl_ids,
+                         rays.origin, rays.direction, 2048, occ, max_t)
+    if prims.n_box > 0:
+        occ = _typed_any(_box_t, prims.box_p, prims.box_ids,
+                         rays.origin, rays.direction, 2048, occ, max_t)
+    return occ
+
+
 def _coherence_key(o, d, bmin, bmax):
     """Sort key packing direction octant (3 bits) over a 4-bit-per-axis
     origin cell: rays that start near each other and point the same way land

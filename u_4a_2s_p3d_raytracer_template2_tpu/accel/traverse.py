@@ -8,8 +8,8 @@ entry distance forced to 0 when the origin is inside the child box
 with per-cell closest-hit acceptance against the current cell slab.
 
 These are the correctness implementations (SURVEY.md §7 hard part a): pure
-JAX control flow that compiles anywhere. The Pallas wavefront kernel in
-``ops/pallas_bvh.py`` supersedes them on TPU for large scenes.
+JAX control flow that compiles anywhere. The tile-coherent clustered tracer
+in ``accel/clusters.py`` supersedes them on TPU for large scenes.
 
 The reference's quirks #1/#4 (missing break ⇒ BVH mode re-scans brute-force;
 ``hit`` set on any leaf visit) make its shipped BVH mode behave exactly like
@@ -185,8 +185,18 @@ def bvh_closest_hit(bvh: BvhArrays, prims: Primitives, rays: Rays):
 
 
 def bvh_any_hit(bvh: BvhArrays, prims: Primitives, rays: Rays, max_t):
-    t, oid = bvh_closest_hit(bvh, prims, rays)
-    return t < max_t
+    """Early-exit shadow traversal (BVH::Traverse(Ray&), bvh.cpp:348-416):
+    the walk stops as soon as its running min drops below ``max_t`` — no
+    ordered descent needed, any occluder ends the ray. Unbounded primitives
+    (planes) are tested alongside, as in every closest-hit path here."""
+    walk = jax.vmap(
+        lambda o, d: _bvh_walk_single(bvh, prims, o, d, max_t)
+    )
+    t_tree, _ = walk(rays.origin, rays.direction)
+    occ = t_tree < max_t
+    t_unb, _ = _unbounded_closest(prims, bvh.unbounded_ids,
+                                  rays.origin, rays.direction)
+    return occ | (t_unb < max_t)
 
 
 # ---------------------------------------------------------------------------
@@ -274,6 +284,82 @@ def grid_closest_hit(grid: GridArrays, prims: Primitives, rays: Rays):
     return t, jnp.where(t >= C.BIG, -1, oid)
 
 
-def grid_any_hit(grid: GridArrays, prims: Primitives, rays: Rays, max_t):
-    t, oid = grid_closest_hit(grid, prims, rays)
-    return t < max_t
+def _grid_shadow_single(grid: GridArrays, prims: Primitives, o, d, max_t):
+    """Shadow DDA for one ray (Grid::Traverse(Ray&), grid.cpp:313-361):
+    walk cells, exit at the FIRST object hit with t < max_t. Unlike the
+    closest-hit walk there is no cell-slab acceptance test — the reference
+    accepts any `intercepts` with distance < |L| (grid.cpp:338-341), which is
+    still exact (the hit lies on the ray regardless of which cell found it).
+    Returns (occluded, init_failed) so the caller can apply the reference's
+    'Init failure = in shadow' quirk (grid.cpp:326-328)."""
+    nx, ny, nz = grid.nx, grid.ny, grid.nz
+    n_vec = jnp.array([nx, ny, nz], jnp.int32)
+    n_f = n_vec.astype(jnp.float32)
+    b0 = grid.bbox_min
+    b1 = grid.bbox_max
+
+    inv = _safe_inv(d)
+    lo = (b0 - o) * inv
+    hi = (b1 - o) * inv
+    pos = inv >= 0.0
+    tmin = jnp.where(pos, lo, hi)
+    tmax = jnp.where(pos, hi, lo)
+    t0 = jnp.max(tmin)
+    t1 = jnp.min(tmax)
+    misses_grid = (t0 > t1) | (t1 < 0.0)
+
+    inside = jnp.all((o > b0) & (o < b1))
+    entry = jnp.where(inside, o, o + d * t0)
+    cell = jnp.clip(((entry - b0) * n_f / (b1 - b0)).astype(jnp.int32),
+                    0, n_vec - 1)
+
+    dt = (tmax - tmin) / n_f
+    step = jnp.where(d > 0, 1, -1).astype(jnp.int32)
+    stop = jnp.where(d > 0, n_vec, -1)
+    t_next = jnp.where(
+        d > 0,
+        tmin + (cell + 1).astype(jnp.float32) * dt,
+        tmin + (n_f - cell.astype(jnp.float32)) * dt,
+    )
+    t_next = jnp.where(d == 0.0, C.BIG, t_next)
+
+    def cell_occludes(cell_idx):
+        items = grid.cell_items[cell_idx]
+        safe = jnp.maximum(items, 0)
+        params = prims.params[safe]
+        ptype = jnp.where(items >= 0, prims.ptype[safe], C.INVALID)
+        t = chunk_t(params, ptype, o[None, :], d[None, :])[0]
+        return jnp.any(t < max_t)
+
+    def cond_fn(state):
+        return state[3]
+
+    def body(state):
+        cell, t_next_, occ, _ = state
+        flat = cell[0] + nx * (cell[1] + ny * cell[2])
+        occ = cell_occludes(flat)
+
+        axis = jnp.argmin(t_next_)
+        cell = cell.at[axis].add(step[axis])
+        t_next_ = t_next_.at[axis].add(dt[axis])
+        out = cell[axis] == stop[axis]
+        alive = ~occ & ~out
+        return (cell, t_next_, occ, alive)
+
+    init = (cell, t_next, False, jnp.logical_not(misses_grid))
+    _, _, occ, _ = jax.lax.while_loop(cond_fn, body, init)
+    return occ, misses_grid
+
+
+def grid_any_hit(grid: GridArrays, prims: Primitives, rays: Rays, max_t,
+                 init_fail_occludes: bool = False):
+    """Early-exit shadow DDA. ``init_fail_occludes=True`` reproduces the
+    reference's grid.cpp:326-328 quirk: a ray whose grid-entry setup fails is
+    treated as occluded (RenderConfig.reference_grid_shadow_initfail)."""
+    walk = jax.vmap(lambda o, d: _grid_shadow_single(grid, prims, o, d, max_t))
+    occ, init_fail = walk(rays.origin, rays.direction)
+    if init_fail_occludes:
+        occ = occ | init_fail
+    t_unb, _ = _unbounded_closest(prims, grid.unbounded_ids,
+                                  rays.origin, rays.direction)
+    return occ | (t_unb < max_t)

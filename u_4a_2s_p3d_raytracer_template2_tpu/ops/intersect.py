@@ -296,16 +296,116 @@ def _typed_min_tables(fn, tables, ids, o, d, chunk, carry, tri=False):
     return carry
 
 
+def _typed_any(fn, p, ids, o, d, chunk, occ, max_t):
+    """OR one type-grouped table's occlusion into the running mask — the
+    winner-free counterpart of _typed_min (no id bookkeeping, no min fold)."""
+    K = p.shape[0]
+    c = min(chunk, K)
+    if K % c != 0:
+        c = K
+    n_chunks = K // c
+    p = p.reshape(n_chunks, c, p.shape[-1])
+    ids = ids.reshape(n_chunks, c)
+
+    def body(carry, inp):
+        pchunk, idchunk = inp
+        t = fn(pchunk, o, d)                              # [R, c]
+        t = jnp.where((idchunk >= 0)[None, :], t, C.BIG)
+        return carry | jnp.any(t < max_t, axis=-1), None
+
+    if n_chunks == 1:
+        return body(occ, (p[0], ids[0]))[0]
+    occ, _ = jax.lax.scan(body, occ, (p, ids))
+    return occ
+
+
+def _typed_any_tables(fn, tables, ids, o, d, chunk, occ, max_t, tri=False):
+    """_typed_any over a pair of per-type MXU tables (see _typed_min_tables)."""
+    a, b = tables
+    K = ids.shape[0]
+    c = min(chunk, K)
+    if K % c != 0:
+        c = K
+    n_chunks = K // c
+    a = a.reshape((n_chunks, c) + a.shape[1:])
+    b = b.reshape((n_chunks, c) + b.shape[1:])
+    ids_c = ids.reshape(n_chunks, c)
+
+    def body(carry, inp):
+        ac, bc, idchunk = inp
+        if tri:
+            t = fn(ac.reshape(-1, 4), bc.reshape(-1, 3), o, d)
+        else:
+            t = fn(ac, bc, o, d)
+        t = jnp.where((idchunk >= 0)[None, :], t, C.BIG)
+        return carry | jnp.any(t < max_t, axis=-1), None
+
+    if n_chunks == 1:
+        return body(occ, (a[0], b[0], ids_c[0]))[0]
+    occ, _ = jax.lax.scan(body, occ, (a, b, ids_c))
+    return occ
+
+
 def any_hit_brute(
-    prims: Primitives, rays: Rays, max_t, chunk: int = 1024
+    prims: Primitives, rays: Rays, max_t, chunk: int = 2048
 ) -> jnp.ndarray:
     """Shadow-ray occlusion test: any hit with t < max_t (main.cpp:481-509).
 
+    Dedicated any-hit (the capability of bvh.cpp:348-416 / grid.cpp:313-361
+    in brute form): unlike closest_hit_brute there is no winner to find, so
+    the per-chunk min+id folds disappear and the large-table route uses
+    early-exiting Pallas occlusion kernels (ops/pallas_intersect.py
+    *_any_hit) that stop streaming primitives once every resident ray is
+    occluded. Occlusion is exactly `min t < max_t`, so results are identical
+    to the closest-hit-derived mask.
+
     Pass max_t = BIG for the reference's unbounded NONE-mode semantics
-    (SURVEY.md quirk #6), or the light distance for the physical bound.
+    (SURVEY.md quirk #6), or the light distance for the physical bound
+    (callers pass unnormalized L with max_t=1.0).
     """
-    t, _ = closest_hit_brute(prims, rays, chunk=chunk)
-    return t < max_t
+    from . import mxu_intersect as mxu
+
+    MXU_MIN = 64
+    o, d = rays.origin, rays.direction
+    R = o.shape[0]
+    occ = jnp.zeros((R,), bool)
+    sg = jax.lax.stop_gradient  # occlusion is discrete; no gradient flows
+
+    if prims.n_tri > 0:
+        if _use_pallas(prims.tri_ids.shape[0]) and isinstance(max_t, float):
+            from . import pallas_intersect as pk
+
+            occ |= pk.triangle_any_hit(sg(prims.tri_mo), sg(o), sg(d), max_t)
+        elif prims.tri_ids.shape[0] >= MXU_MIN:
+            occ = _typed_any_tables(
+                lambda mo, md, o_, d_: mxu.tri_t(mo, md, o_, d_),
+                (prims.tri_mo.reshape(-1, 3, 4),
+                 prims.tri_md.reshape(-1, 3, 3)),
+                prims.tri_ids, o, d, chunk, occ, max_t, tri=True)
+        else:
+            occ = _typed_any(_triangle_t, prims.tri_p, prims.tri_ids, o, d,
+                             chunk, occ, max_t)
+    if prims.n_sph > 0:
+        if _use_pallas(prims.sph_ids.shape[0]) and isinstance(max_t, float):
+            from . import pallas_intersect as pk
+
+            occ |= pk.sphere_any_hit(sg(prims.sph_p[:, 0:3]),
+                                     sg(prims.sph_k), sg(o), sg(d), max_t)
+        elif prims.sph_ids.shape[0] >= MXU_MIN:
+            occ = _typed_any_tables(
+                lambda cs, ks, o_, d_: mxu.sphere_t(cs, ks, o_, d_),
+                (prims.sph_p[:, 0:3], prims.sph_k),
+                prims.sph_ids, o, d, chunk, occ, max_t)
+        else:
+            occ = _typed_any(_sphere_t, prims.sph_p, prims.sph_ids, o, d,
+                             chunk, occ, max_t)
+    if prims.n_pl > 0:
+        occ = _typed_any(_plane_t, prims.pl_p, prims.pl_ids, o, d, chunk,
+                         occ, max_t)
+    if prims.n_box > 0:
+        occ = _typed_any(_box_t, prims.box_p, prims.box_ids, o, d, chunk,
+                         occ, max_t)
+    return occ
 
 
 # ---------------------------------------------------------------------------

@@ -396,6 +396,174 @@ def small_scene_closest(mo, tri_ids, centers, k_const, sph_ids, o, d,
     return t.reshape(-1)[:R], _gather_ids(all_ids, pos, R)
 
 
+# ---------------------------------------------------------------------------
+# any-hit shadow kernels (bvh.cpp:348-416 / grid.cpp:313-361 capability):
+# no winner tracking at all — fold a 0/1 occlusion map and early-exit the
+# chunk loop once every resident ray is occluded. Shadow rays carry the
+# unnormalized L with max_t=1.0 (t in units of |L|), so `t < max_t` is the
+# reference's `distance < length` test.
+#
+# Ray validity rides in column 7 of the packed ray block (zero elsewhere):
+# pad rays start pre-occluded so they never block the early exit.
+
+
+def _make_sphere_any_kernel(max_t: float):
+    def kernel(om_ref, dm_ref, a_ref, occ_ref):
+        n_chunks = a_ref.shape[1] // LANE
+        om = om_ref[:]
+        dm = dm_ref[:]
+        ox, oy, oz = om[:, 0:1], om[:, 1:2], om[:, 2:3]
+        dx, dy, dz = dm[:, 0:1], dm[:, 1:2], dm[:, 2:3]
+        oo = om[:, 3:4]
+        do2 = om[:, 4:5]
+        a4 = om[:, 5:6]
+        minv2a = om[:, 6:7]
+        valid = om[:, 7:8]
+
+        def cond(state):
+            ci, occ = state
+            return (ci < n_chunks) & (jnp.min(jnp.max(occ, -1)) < 0.5)
+
+        def body(state):
+            ci, occ = state
+            sl = pl.ds(ci * LANE, LANE)
+            cx = a_ref[0:1, sl]
+            cy = a_ref[1:2, sl]
+            cz = a_ref[2:3, sl]
+            kk = a_ref[3:4, sl]
+            oc2 = ox * cx + oy * cy + oz * cz
+            dc2 = dx * cx + dy * cy + dz * cz
+            b = do2 + dc2
+            cc = (oo + kk) + oc2
+            delta = b * b - a4 * cc
+            hit = delta > 0.0
+            sq = jnp.sqrt(jnp.where(hit, delta, 1.0))
+            s = jnp.where(b + sq > 0.0, -sq, sq)
+            t = (b + s) * minv2a
+            ok = hit & (t >= 0.0) & (t < max_t)
+            return ci + 1, jnp.maximum(occ, jnp.where(ok, 1.0, 0.0))
+
+        occ0 = jnp.broadcast_to(1.0 - valid, (TILE_R, LANE))
+        _, occ = jax.lax.while_loop(cond, body, (jnp.int32(0), occ0))
+        rows = occ_ref.shape[0]
+        occ_ref[:] = jnp.max(occ, axis=-1).reshape(rows, LANE)
+
+    return kernel
+
+
+def _make_tri_any_kernel(max_t: float):
+    def kernel(m_ref, o_ref, d_ref, occ_ref):
+        n_chunks = m_ref.shape[1] // LANE
+        om = o_ref[:]
+        dm = d_ref[:]
+        ox, oy, oz = om[:, 0:1], om[:, 1:2], om[:, 2:3]
+        dx, dy, dz = dm[:, 0:1], dm[:, 1:2], dm[:, 2:3]
+        valid = om[:, 7:8]
+
+        def cond(state):
+            ci, occ = state
+            return (ci < n_chunks) & (jnp.min(jnp.max(occ, -1)) < 0.5)
+
+        def body(state):
+            ci, occ = state
+            sl = pl.ds(ci * LANE, LANE)
+
+            def plane(r0):
+                mx = m_ref[r0:r0 + 1, sl]
+                my = m_ref[r0 + 1:r0 + 2, sl]
+                mz = m_ref[r0 + 2:r0 + 3, sl]
+                mw = m_ref[r0 + 3:r0 + 4, sl]
+                so = ox * mx + oy * my + oz * mz + mw
+                sd = dx * mx + dy * my + dz * mz
+                return so, sd
+
+            so_t, sd_t = plane(0)
+            so_u, sd_u = plane(4)
+            so_v, sd_v = plane(8)
+            ok = jnp.abs(sd_t) > _EPS
+            inv = 1.0 / jnp.where(ok, sd_t, 1.0)
+            t = -so_t * inv
+            u = so_u + t * sd_u
+            v = so_v + t * sd_v
+            ok &= (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
+            ok &= (t > _EPS) & (t < max_t)
+            return ci + 1, jnp.maximum(occ, jnp.where(ok, 1.0, 0.0))
+
+        occ0 = jnp.broadcast_to(1.0 - valid, (TILE_R, LANE))
+        _, occ = jax.lax.while_loop(cond, body, (jnp.int32(0), occ0))
+        rows = occ_ref.shape[0]
+        occ_ref[:] = jnp.max(occ, axis=-1).reshape(rows, LANE)
+
+    return kernel
+
+
+_OCC_SPEC = pl.BlockSpec((TILE_R // LANE, LANE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+
+
+def _occ_shape(n_rays):
+    return jax.ShapeDtypeStruct((n_rays // LANE, LANE), jnp.float32)
+
+
+def _mark_valid(block, R):
+    """Set column 7 = 1.0 on the first R (real) rows of a packed ray block."""
+    real = (jnp.arange(block.shape[0]) < R).astype(block.dtype)
+    return block.at[:, 7].set(real)
+
+
+@functools.partial(jax.jit, static_argnames=("max_t", "interpret"))
+def sphere_any_hit(centers, k_const, o, d, max_t: float,
+                   interpret: bool = False):
+    """Fused sphere any-hit: occluded [R] bool (∃ hit with t < max_t)."""
+    o, d, R = _pad_rays(o, d)
+    K = centers.shape[0]
+    (centers, k_const), Kp = _pad_prims([centers, k_const], K, LANE)
+    om, dm = _ray_lhs(o, d)
+    om = _mark_valid(om, R)
+    A = jnp.concatenate([-2.0 * centers.T, k_const[None, :],
+                         jnp.zeros((4, Kp), jnp.float32)], 0)
+    occ = pl.pallas_call(
+        _make_sphere_any_kernel(float(max_t)),
+        grid=(o.shape[0] // TILE_R,),
+        in_specs=[_RAY_SPEC, _RAY_SPEC,
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=_OCC_SPEC,
+        out_shape=_occ_shape(o.shape[0]),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(om, dm, A)
+    return occ.reshape(-1)[:R] > 0.5
+
+
+@functools.partial(jax.jit, static_argnames=("max_t", "interpret"))
+def triangle_any_hit(mo, o, d, max_t: float, interpret: bool = False):
+    """Fused Baldwin-Weber triangle any-hit: occluded [R] bool."""
+    o, d, R = _pad_rays(o, d)
+    mo = mo.reshape(-1, 3, 4)
+    K = mo.shape[0]
+    (mo,), Kp = _pad_prims([mo], K, LANE)
+    M = jnp.concatenate([
+        jnp.transpose(mo, (1, 2, 0)).reshape(12, Kp),
+        jnp.zeros((4, Kp), jnp.float32),
+    ], 0)
+    zero5 = jnp.zeros((o.shape[0], 5), o.dtype)
+    o8 = _mark_valid(jnp.concatenate([o, zero5], -1), R)
+    d8 = jnp.concatenate([d, zero5], -1)
+    occ = pl.pallas_call(
+        _make_tri_any_kernel(float(max_t)),
+        grid=(o.shape[0] // TILE_R,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  _RAY_SPEC, _RAY_SPEC],
+        out_specs=_OCC_SPEC,
+        out_shape=_occ_shape(o.shape[0]),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(M, o8, d8)
+    return occ.reshape(-1)[:R] > 0.5
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def triangle_closest(mo, md, ids, o, d, interpret: bool = False):
     """Fused Baldwin-Weber triangle closest-hit: (t [R], id [R]).
