@@ -48,3 +48,13 @@ def assert_images_close(img, want, atol=2e-3, max_bad_frac=0.01):
         f"{bad_frac*100:.2f}% of pixels differ by more than {atol} "
         f"(max diff {diff.max():.4f})"
     )
+
+
+# Persistent XLA compilation cache: repeat runs of the suite skip most
+# backend compiles entirely (and the first run is no slower). Shared with
+# the CLI/bench cache path; jax handles concurrent xdist writers.
+from u_4a_2s_p3d_raytracer_template2_tpu.utils.profiling import (  # noqa: E402
+    enable_compilation_cache,
+)
+
+enable_compilation_cache("/tmp/jax_rt_test_cache")

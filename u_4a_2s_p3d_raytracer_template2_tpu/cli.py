@@ -32,7 +32,12 @@ def _build_scene(args):
         if not os.path.exists(args.scene):
             print(f"Error opening P3F file: {args.scene}", file=sys.stderr)
             raise SystemExit(2)
-        scene = load_scene(args.scene, accel=args.accel)
+        from .io.p3f import parse_p3f
+
+        sd = parse_p3f(args.scene)
+        if args.res:
+            sd.camera["res_x"] = sd.camera["res_y"] = args.res
+        scene = build_scene(sd, accel=args.accel)
     else:
         name = args.builtin or "mount"
         builder = {
@@ -211,6 +216,81 @@ def cmd_orbit(args):
         print(f"frame {i}: {path}")
 
 
+def cmd_view(args):
+    """Progressive interactive-equivalent session — the headless twin of the
+    reference's GLUT idle-func viewer (main.cpp:835-868): re-render while the
+    camera orbits (SetEye, camera.h:80-89), print a per-frame FPS/Mrays
+    readout (the title-bar counter, main.cpp:280-289), then hold still and
+    progressively accumulate jittered samples (the GLSL accumulator pattern,
+    P3D_RT.glsl:345-365) until --still-frames are blended.
+    """
+    import dataclasses as dc
+
+    import jax
+    import jax.numpy as jnp
+
+    from .utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from .io.image import save_png, to_u8_device
+    from .models.whitted import render_image
+    from .ops.camera import orbit_eye, with_eye
+
+    scene = _build_scene(args)
+    cfg = _config(args, scene)
+    cam0 = scene.camera
+    n_pix = cam0.res_x * cam0.res_y
+    rays_per_frame = n_pix * (1 + scene.n_lights)
+    r = float(np.linalg.norm(np.asarray(cam0.eye)))
+
+    def frame(alpha, beta, key):
+        cam = with_eye(cam0, orbit_eye(cam0, alpha, beta, r))
+        s = dc.replace(scene, camera=cam)
+        img = render_image(s, cfg, key, tile_rows=args.tile_rows)
+        # sync on a scalar: device->host image readback can be very slow
+        # through remote-TPU tunnels; the u8 readback happens once at the end
+        jax.block_until_ready(img.sum())
+        return img
+
+    # warmup/compile frame (excluded from the FPS readout, like the
+    # reference's first frame which pays scene build)
+    img = frame(0.0, args.beta, jax.random.PRNGKey(0))
+    print(f"session: {cam0.res_x}x{cam0.res_y}, {scene.n_objects} objects, "
+          f"orbit {args.orbit_frames} frames over {args.sweep} deg, then "
+          f"accumulate {args.still_frames} frames")
+
+    for i in range(args.orbit_frames):
+        alpha = args.sweep * (i + 1) / max(args.orbit_frames, 1)
+        t0 = time.perf_counter()
+        img = frame(alpha, args.beta, jax.random.PRNGKey(0))
+        dt = time.perf_counter() - t0
+        print(f"orbit frame {i}: alpha={alpha:7.2f}  {dt * 1e3:7.1f} ms  "
+              f"{1.0 / dt:6.2f} FPS  {rays_per_frame / dt / 1e6:7.2f} Mrays/s")
+
+    # camera still: progressive accumulation (jittered AA samples)
+    acc = img
+    alpha = args.sweep
+    acc_cfg = dc.replace(cfg, anti_aliasing=True,
+                         spp=max(cfg.spp, 1)) if args.still_frames else cfg
+    cam = with_eye(cam0, orbit_eye(cam0, alpha, args.beta, r))
+    still = dc.replace(scene, camera=cam)
+    for i in range(args.still_frames):
+        t0 = time.perf_counter()
+        img = render_image(still, acc_cfg, jax.random.PRNGKey(1 + i),
+                           tile_rows=args.tile_rows)
+        acc = acc + img
+        jax.block_until_ready(acc.sum())
+        dt = time.perf_counter() - t0
+        print(f"still frame {i}: {i + 2} samples  {dt * 1e3:7.1f} ms  "
+              f"{1.0 / dt:6.2f} FPS")
+    acc = acc / (args.still_frames + 1)
+
+    out = np.asarray(to_u8_device(acc))
+    save_png(args.output, out)
+    print(f"Image file created: {args.output}")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="u_4a_2s_p3d_raytracer_template2_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -259,6 +339,20 @@ def main(argv=None):
     pp.add_argument("--resume", help="resume accumulation state from here")
     pp.add_argument("-o", "--output", default="PT_Output.png")
     pp.set_defaults(fn=cmd_pathtrace)
+
+    pv = sub.add_parser(
+        "view", help="progressive viewer session: orbit + FPS readout + "
+        "still-camera accumulation")
+    common(pv)
+    pv.add_argument("--orbit-frames", type=int, default=8,
+                    help="frames rendered while the camera orbits")
+    pv.add_argument("--still-frames", type=int, default=4,
+                    help="jittered frames accumulated once the camera stops")
+    pv.add_argument("--sweep", type=float, default=90.0,
+                    help="total orbit sweep in degrees")
+    pv.add_argument("--beta", type=float, default=20.0)
+    pv.add_argument("-o", "--output", default="View_Output.png")
+    pv.set_defaults(fn=cmd_view)
 
     po = sub.add_parser("orbit", help="camera-orbit turntable frames")
     common(po)
