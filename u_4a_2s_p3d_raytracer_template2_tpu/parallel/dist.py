@@ -161,6 +161,137 @@ def train_step(scene: Scene, target, cfg: RenderConfig, mesh: Mesh,
 
 
 # ---------------------------------------------------------------------------
+# full-parameter inverse rendering: materials + lights + camera
+# (SURVEY.md §2 'Parallelism — ABSENT' / §7 item 8: material/light/camera
+# gradient all-reduce is the NCCL-backend analogue this design defines)
+
+
+from ..core.types import pytree
+
+
+@pytree
+class FitParams:
+    """Every differentiable scene parameter group. Camera is parameterized
+    by (eye, focal_ratio); the uvn frame is re-derived differentiably from
+    the eye inside _apply_params (SetEye semantics, camera.h:80-89)."""
+
+    materials: "object"        # core.types.Materials
+    light_pos: jnp.ndarray     # [L, 3]
+    light_color: jnp.ndarray   # [L, 3]
+    cam_eye: jnp.ndarray       # [3]
+    cam_focal: jnp.ndarray     # []
+
+
+def params_of(scene: Scene) -> FitParams:
+    return FitParams(
+        materials=scene.materials,
+        light_pos=scene.lights.position,
+        light_color=scene.lights.color,
+        cam_eye=scene.camera.eye,
+        cam_focal=scene.camera.focal_ratio,
+    )
+
+
+def _apply_params(scene: Scene, p: FitParams) -> Scene:
+    from ..ops.camera import with_eye
+
+    lights = dataclasses.replace(scene.lights, position=p.light_pos,
+                                 color=p.light_color)
+    cam = with_eye(scene.camera, p.cam_eye)
+    cam = dataclasses.replace(cam, focal_ratio=p.cam_focal)
+    return dataclasses.replace(scene, materials=p.materials, lights=lights,
+                               camera=cam)
+
+
+def _project_materials(m):
+    return dataclasses.replace(
+        m,
+        diff_color=jnp.clip(m.diff_color, 0.0, 1.0),
+        spec_color=jnp.clip(m.spec_color, 0.0, 1.0),
+        kd=jnp.clip(m.kd, 0.0, 1.0),
+        ks=jnp.clip(m.ks, 0.0, 1.0),
+        transmit=jnp.clip(m.transmit, 0.0, 1.0),
+        shine=jnp.maximum(m.shine, 1.0),
+        ior=jnp.maximum(m.ior, 1.0),
+    )
+
+
+def lr_scales(materials: float = 1.0, light_pos: float = 1.0,
+              light_color: float = 1.0, camera: float = 1.0) -> FitParams:
+    """Per-group learning-rate multipliers for train_step_full. Parameter
+    groups live on very different scales (colors in [0,1], light/eye
+    positions in world units), so a single lr cannot fit them jointly.
+    Pass 0.0 to freeze a group."""
+    f32 = lambda v: jnp.asarray(v, jnp.float32)
+    return FitParams(
+        materials=jax.tree.map(lambda _: f32(materials),
+                               _EMPTY_MAT_TEMPLATE),
+        light_pos=f32(light_pos), light_color=f32(light_color),
+        cam_eye=f32(camera), cam_focal=f32(camera),
+    )
+
+
+from ..core.types import Materials as _Materials
+
+_EMPTY_MAT_TEMPLATE = _Materials(
+    diff_color=0.0, kd=0.0, spec_color=0.0, ks=0.0, shine=0.0,
+    transmit=0.0, ior=0.0)
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def train_step_full(scene: Scene, target, cfg: RenderConfig, mesh: Mesh,
+                    lr: float = 0.05, key=None, scales: FitParams = None):
+    """One inverse-rendering step over ALL parameter groups (materials,
+    light position/color, camera eye/focal). Pixels shard over the mesh;
+    per-group gradients are psum-all-reduced over ICI exactly like
+    train_step. ``scales`` (see lr_scales) multiplies lr per group — pass
+    0.0 to freeze a group. Returns (scene', loss)."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    if scales is None:
+        scales = lr_scales()
+    n = mesh.devices.size
+    px, py = _pixel_grid(scene)
+    tgt = target.reshape(-1, 3)
+    px, true_n = _pad_to(px, n)
+    py, _ = _pad_to(py, n)
+    tgt, _ = _pad_to(tgt, n)
+    total = float(true_n)
+
+    def shard_fn(scene, px, py, tgt, key):
+        key = jax.random.fold_in(key[0], jax.lax.axis_index(AXIS))
+
+        def local_loss(params: FitParams):
+            s = _apply_params(scene, params)
+            img = render_tile(s, px, py, cfg, key)
+            return jnp.sum((img - tgt) ** 2) / total
+
+        loss, grads = jax.value_and_grad(local_loss)(params_of(scene))
+        grads = jax.tree.map(lambda g: jax.lax.psum(g, AXIS), grads)
+        loss = jax.lax.psum(loss, AXIS)
+        return loss[None], jax.tree.map(lambda g: g[None], grads)
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(AXIS), P(AXIS), P(AXIS), P()),
+        out_specs=(P(AXIS), P(AXIS)),
+        check_vma=False,
+    )
+    loss, grads = fn(scene, px, py, tgt, key[None])
+    loss = loss[0]
+    grads = jax.tree.map(lambda g: g[0], grads)
+    new = jax.tree.map(lambda p, g, s: p - lr * s * g,
+                       params_of(scene), grads, scales)
+    new = dataclasses.replace(
+        new,
+        materials=_project_materials(new.materials),
+        cam_focal=jnp.maximum(new.cam_focal, 0.05),
+    )
+    return _apply_params(scene, new), loss
+
+
+# ---------------------------------------------------------------------------
 # path tracer sharding: frames are embarrassingly parallel over pixels
 
 
