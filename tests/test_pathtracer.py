@@ -108,3 +108,29 @@ def test_checkpoint_npz_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(got.sum_linear),
                                   np.asarray(acc.sum_linear))
     assert float(got.count) == 3.0
+
+
+def test_orbit_camera_modes():
+    """ORBIT_CAMERA branch (P3D_RT.glsl:5, 296-316): both mouse modes render
+    finite, non-trivial, mutually distinct frames; mouse (0,0) in orbit mode
+    pins the eye at (0,0,-8)."""
+    scene = glsl_world()
+    cam_slide = glsl_camera(16, 16, mouse=(0.3, 0.4))
+    cam_orbit = glsl_camera(16, 16, mouse=(0.3, 0.4), orbit=True)
+    cam_orbit0 = glsl_camera(16, 16, mouse=(0.0, 0.0), orbit=True)
+    assert np.allclose(np.asarray(cam_orbit0.eye), [0.0, 0.0, -8.0])
+    # eye on a radius-8 sphere around the target (0,0,-1)
+    r = np.linalg.norm(np.asarray(cam_orbit.eye) - np.array([0, 0, -1.0]))
+    assert abs(r - 8.0) < 1e-5
+
+    cfg = pt.PTConfig(max_bounces=3)
+    key = jax.random.PRNGKey(0)
+    imgs = []
+    for cam in (cam_slide, cam_orbit, cam_orbit0):
+        acc = pt.render_progressive(scene, cam, cfg, key, 2)
+        img = np.asarray(pt.to_image(acc))
+        assert np.isfinite(img).all()
+        assert img.std() > 0.01
+        imgs.append(img)
+    assert np.abs(imgs[0] - imgs[1]).max() > 0.05
+    assert np.abs(imgs[1] - imgs[2]).max() > 0.05

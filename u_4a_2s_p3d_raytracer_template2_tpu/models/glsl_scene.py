@@ -159,10 +159,33 @@ def glsl_world(
 
 
 def glsl_camera(res_x: int = 256, res_y: int = 256,
-                mouse=(0.0, 0.0), showcase_dof: bool = False) -> Camera:
-    """mainImage camera setup (P3D_RT.glsl:293-341), slide mode."""
-    mx = mouse[0] * 2.0 - 1.0
-    cam_pos = [mx * 10.0, mouse[1] * 5.0, 8.0]
+                mouse=(0.0, 0.0), showcase_dof: bool = False,
+                orbit: bool = False) -> Camera:
+    """mainImage camera setup (P3D_RT.glsl:293-341), both mouse modes.
+
+    ``orbit=False`` is the slide branch (camPos from mouse x/y directly);
+    ``orbit=True`` is the ORBIT_CAMERA branch (P3D_RT.glsl:5, 296-316):
+    mouse == (0,0) pins the eye at (0,0,-8), otherwise spherical angles
+    angleX = -mx·5 (sensitivity), angleY = mix(0.01, π−0.01, mouse.y)
+    place the eye on a radius-8 sphere around the target.
+    """
+    cam_target = np.array([0.0, 0.0, -1.0], np.float32)
+    if orbit:
+        if mouse[0] + mouse[1] == 0.0:
+            cam_pos = [0.0, 0.0, -8.0]
+        else:
+            mx = mouse[0] * 2.0 - 1.0
+            small, big = 0.01, np.pi - 0.01
+            angle_x = -mx * 5.0
+            angle_y = small + (big - small) * mouse[1]
+            cam_pos = (np.array([
+                np.sin(angle_x) * np.sin(angle_y) * 8.0,
+                -np.cos(angle_y) * 8.0,
+                np.cos(angle_x) * np.sin(angle_y) * 8.0,
+            ], np.float32) + cam_target).tolist()
+    else:
+        mx = mouse[0] * 2.0 - 1.0
+        cam_pos = [mx * 10.0, mouse[1] * 5.0, 8.0]
     aperture = 10.0 if showcase_dof else 0.0
     focus = 0.5 if showcase_dof else 1.0
     cam = build_camera(dict(
