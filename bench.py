@@ -1,58 +1,60 @@
-"""Benchmark driver: Mrays/s/chip (primary+shadow) on the mount_low scene.
+"""Benchmark driver: Mrays/s/chip across the reference corpus workloads.
 
-Prints ONE JSON line:
+Prints one JSON line per scene; the LAST line is the driver-contract
+headline:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 
-The reference publishes no numbers (BASELINE.md): its only instrumentation is
-a wall-clock printf (main.cpp:966-970). ``vs_baseline`` is therefore measured
-against a recorded single-thread CPU-class anchor for the same workload: the
-reference's per-ray C++ loop executes ~0.5-2 Mrays/s on one core for
-mount_low-class scenes; we use 1.0 Mrays/s as the anchor (documented in
-BASELINE.md's workload envelope).
+Scenes (the three workload classes of BASELINE.md):
+  mount_low   — 12 prims, refraction-heavy depth-4 Whitted (primary metric)
+  balls_high  — 7,381-sphere brute force (Pallas fused-kernel path)
+  dragon      — 100k-triangle mesh (tile-coherent clustered tracer)
+
+``vs_baseline`` compares against a MEASURED single-core CPU anchor: a
+minimal C++ tracer with the reference's exact semantics compiled -O3
+(tools/baseline_ref.cpp), timed per scene by tools/measure_baseline.py —
+method and raw numbers recorded in BASELINE.md. The reference itself
+publishes no numbers (its only instrumentation is a wall-clock printf,
+main.cpp:966-970).
 
 Timing protocol: slope of an on-device frame loop with hard scalar-readback
 sync (utils/timing.py). Through the remote-TPU tunnel, per-call
 ``block_until_ready`` can return before execution completes and identical
 launches are deduped — both make naive per-call timing read absurdly low.
 The slope method cancels every fixed per-dispatch cost and serializes frames
-on-device, so the number is real chip throughput.
+on-device with varying inputs, so the number is real chip throughput.
 """
 import json
+import os
 import sys
 
 import numpy as np
 
-CPU_ANCHOR_MRAYS = 1.0  # single-core reference-class anchor (see docstring)
+# Measured single-core CPU anchors, Mrays/s in the primary+shadow convention
+# (pixels x (1 + n_lights) / wall-clock), from tools/measure_baseline.py on
+# 2026-08-19 (g++ -O3 -march=native, one core; raw JSON + method in
+# BASELINE.md). dragon/balls_high anchors are brute-force, as the reference
+# ships them (accel 0 in the scene files; its BVH mode re-scans brute
+# anyway, SURVEY.md quirk #1).
+CPU_ANCHOR_MRAYS = {
+    "mount_low": 5.72,
+    "balls_high": 0.026,
+    "dragon": 0.001,
+}
+# Fallback used if a scene has no measured anchor recorded yet.
+_DEFAULT_ANCHOR = 1.0
+
+SCENE_DIR = "/root/reference/P3D_RayTracer_Template2/P3D_Scenes"
 
 
-def main():
+def _bench_scene(rt, scene, cfg, label, res_x, res_y, n_lights, frame_time):
     import jax
     import jax.numpy as jnp
 
-    sys.path.insert(0, ".")
-    from u_4a_2s_p3d_raytracer_template2_tpu.utils.profiling import (
-        enable_compilation_cache,
-    )
-
-    enable_compilation_cache()
-
-    import u_4a_2s_p3d_raytracer_template2_tpu as rt
-    from u_4a_2s_p3d_raytracer_template2_tpu.models.scenes import mount_scene
     from u_4a_2s_p3d_raytracer_template2_tpu.models.whitted import render_tile
-    from u_4a_2s_p3d_raytracer_template2_tpu.utils.timing import frame_time
 
-    res = 512
-    scene = rt.build_scene(mount_scene(res=res))
-    # compacted-wavefront engine: measured 86.8 ms vs the level sweep's
-    # 101 ms for this frame on v5e (the sweep won before the dense one-hot
-    # gather fix; with gathers fixed, the wavefront's 4x fewer lane-slots
-    # beat its compaction overhead). Exact vs the sweep for this
-    # deterministic config (tests/test_wavefront.py).
-    cfg = rt.RenderConfig(engine="wavefront")
     key = jax.random.PRNGKey(0)
-
-    ys, xs = np.meshgrid(np.arange(res, dtype=np.float32),
-                         np.arange(res, dtype=np.float32), indexing="ij")
+    ys, xs = np.meshgrid(np.arange(res_y, dtype=np.float32),
+                         np.arange(res_x, dtype=np.float32), indexing="ij")
     py = jnp.asarray(ys.reshape(-1))
     px = jnp.asarray(xs.reshape(-1))
 
@@ -69,16 +71,59 @@ def main():
     # level; secondary levels add reflect/refract + their shadow rays. We
     # report the *minimum* convention (primary + top-level shadow) so the
     # number is comparable and conservative.
-    n_pix = res * res
-    rays = n_pix * (1 + scene.n_lights)
+    rays = res_x * res_y * (1 + n_lights)
     mrays = rays / dt / 1e6
-
-    print(json.dumps({
-        "metric": "Mrays/s/chip (primary+shadow) on mount_low",
+    anchor = CPU_ANCHOR_MRAYS.get(label) or _DEFAULT_ANCHOR
+    return {
+        "metric": f"Mrays/s/chip (primary+shadow) on {label}",
         "value": round(mrays, 3),
         "unit": "Mrays/s",
-        "vs_baseline": round(mrays / CPU_ANCHOR_MRAYS, 2),
-    }))
+        "frame_ms": round(dt * 1e3, 2),
+        "vs_baseline": round(mrays / anchor, 2),
+    }
+
+
+def main():
+    import jax
+
+    sys.path.insert(0, ".")
+    from u_4a_2s_p3d_raytracer_template2_tpu.utils.profiling import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
+
+    import u_4a_2s_p3d_raytracer_template2_tpu as rt
+    from u_4a_2s_p3d_raytracer_template2_tpu.models.scenes import mount_scene
+    from u_4a_2s_p3d_raytracer_template2_tpu.utils.timing import frame_time
+
+    results = []
+
+    # --- secondary scenes first (headline line must be LAST) -------------
+    for name, label, accel in (("balls_high.p3f", "balls_high", None),
+                               ("dragon.p3f", "dragon", 2)):
+        path = os.path.join(SCENE_DIR, name)
+        if not os.path.exists(path):
+            continue
+        sd = rt.parse_p3f(path)
+        scene = rt.build_scene(sd, accel=accel)
+        cfg = rt.RenderConfig(engine="wavefront").with_scene_flags(scene)
+        r = _bench_scene(rt, scene, cfg, label, scene.camera.res_x,
+                         scene.camera.res_y, scene.n_lights, frame_time)
+        results.append(r)
+        print(json.dumps(r), flush=True)
+
+    # --- primary metric: mount_low --------------------------------------
+    res = 512
+    scene = rt.build_scene(mount_scene(res=res))
+    # compacted-wavefront engine: measured faster than the level sweep on
+    # v5e for this frame; exact vs the sweep for deterministic configs
+    # (tests/test_wavefront.py pins parity).
+    cfg = rt.RenderConfig(engine="wavefront")
+    r = _bench_scene(rt, scene, cfg, "mount_low", res, res, scene.n_lights,
+                     frame_time)
+    results.append(r)
+    print(json.dumps(r), flush=True)
 
 
 if __name__ == "__main__":
