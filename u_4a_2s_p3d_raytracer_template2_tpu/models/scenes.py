@@ -33,7 +33,9 @@ def mount_scene(res: int = 512, accel: int = C.ACCEL_NONE) -> SceneDef:
     sd.add_sphere([-0.749194, 0.98961, 0.930598], 0.168, glass)
     sd.add_sphere([-0.98961, 0.749194, 0.930598], 0.167, glass)
 
-    rock = sd.add_material([0.5, 0.45, 0.35], 1, [1, 1, 1], 1, 1000, 0, 0)
+    # f 0.5 0.45 0.35 1 | 1 1 1 0 | 1000 0 0 — Ks is 0 in mount_low.p3f
+    # (a Ks=1 typo here previously made the rock a mirror)
+    rock = sd.add_material([0.5, 0.45, 0.35], 1, [1, 1, 1], 0, 1000, 0, 0)
     peak = [0.0, 0.0, 0.529551]
     rim = [
         [-1, -1, 0], [0, -1, -0.5481], [1, -1, 0], [1, 0, 0.657244],

@@ -164,6 +164,164 @@ def _typed_min(fn, p, ids, o, d, chunk, carry):
     return carry
 
 
+# ---------------------------------------------------------------------------
+# Small-scene component form: fully-unrolled per-primitive tests as pure
+# [R]-vector elementwise chains.
+#
+# The chunked [R, N] formulas above are correct at any N, but for small N
+# they are the WRONG SHAPE for TPU: a [262144, 8] array tiles its minor
+# dimension onto the 128 lanes (94% wasted), and every einsum/cross is a
+# dot_general fusion barrier that materializes [R, N, 3] intermediates in
+# HBM. XLA's cost model measured the depth-4 mount frame at 22 GB of HBM
+# traffic because of this. Unrolling the primitive loop in Python instead
+# gives one long elementwise chain over [R] vectors — XLA fuses it into a
+# single pass whose HBM traffic is just rays in, (t, id) out, and every
+# lane does useful work. Semantics are identical per type (same EPSILON
+# cutoffs, same strict-< first-wins fold as the reference's ascending scan);
+# the sphere quadratic uses the |c|²-r² re-association shared with the
+# cluster/Pallas kernels.
+
+
+def _cols3(a):
+    return a[..., 0], a[..., 1], a[..., 2]
+
+
+def _sphere_t_one(c, k, o_cols, d_cols, quad):
+    ox, oy, oz = o_cols
+    dx, dy, dz = d_cols
+    a, do, oo = quad
+    cx, cy, cz = c[0], c[1], c[2]
+    oc = ox * cx + oy * cy + oz * cz
+    dc = dx * cx + dy * cy + dz * cz
+    b = 2.0 * (do - dc)
+    cc = oo - 2.0 * oc + k
+    delta = b * b - 4.0 * a * cc
+    pos = delta > 0.0
+    sq = jnp.where(pos, jnp.sqrt(jnp.where(pos, delta, 1.0)), 0.0)
+    t0 = (-b - sq) / (2.0 * a)
+    t1 = (-b + sq) / (2.0 * a)
+    lo = jnp.minimum(t0, t1)
+    hi = jnp.maximum(t0, t1)
+    t = jnp.where(lo < 0.0, hi, lo)
+    ok = (delta >= 0.0) & (t >= 0.0)
+    return jnp.where(ok, t, C.BIG)
+
+
+def _triangle_t_one(p, o_cols, d_cols):
+    ox, oy, oz = o_cols
+    dx, dy, dz = d_cols
+    v0x, v0y, v0z = p[0], p[1], p[2]
+    e1x, e1y, e1z = p[3], p[4], p[5]
+    e2x, e2y, e2z = p[6], p[7], p[8]
+    hx = dy * e2z - dz * e2y
+    hy = dz * e2x - dx * e2z
+    hz = dx * e2y - dy * e2x
+    det = e1x * hx + e1y * hy + e1z * hz
+    ok = jnp.abs(det) > _EPS
+    f = 1.0 / jnp.where(ok, det, 1.0)
+    sx = ox - v0x
+    sy = oy - v0y
+    sz = oz - v0z
+    u = f * (sx * hx + sy * hy + sz * hz)
+    ok &= (u >= 0.0) & (u <= 1.0)
+    qx = sy * e1z - sz * e1y
+    qy = sz * e1x - sx * e1z
+    qz = sx * e1y - sy * e1x
+    v = f * (dx * qx + dy * qy + dz * qz)
+    ok &= (v >= 0.0) & (u + v <= 1.0)
+    t = f * (e2x * qx + e2y * qy + e2z * qz)
+    ok &= t > _EPS
+    return jnp.where(ok, t, C.BIG)
+
+
+def _plane_t_one(p, o_cols, d_cols):
+    ox, oy, oz = o_cols
+    dx, dy, dz = d_cols
+    denom = dx * p[0] + dy * p[1] + dz * p[2]
+    ok = jnp.abs(denom) > _EPS
+    t = -(ox * p[0] + oy * p[1] + oz * p[2] + p[3]) / jnp.where(ok, denom, 1.0)
+    ok &= t > 0.0
+    return jnp.where(ok, t, C.BIG)
+
+
+def _box_t_one(p, o_cols, d_cols, inv_cols):
+    t_in = jnp.float32(-C.BIG)
+    t_out = jnp.float32(C.BIG)
+    for ax in range(3):
+        inv = inv_cols[ax]
+        lo = (p[ax] - o_cols[ax]) * inv
+        hi = (p[3 + ax] - o_cols[ax]) * inv
+        pos = inv >= 0.0
+        tmin = jnp.where(pos, lo, hi)
+        tmax = jnp.where(pos, hi, lo)
+        t_in = jnp.maximum(t_in, tmin)
+        t_out = jnp.minimum(t_out, tmax)
+    ok = (t_in < t_out) & (t_out > _EPS)
+    t = jnp.where(t_in > _EPS, t_in, t_out)
+    return jnp.where(ok, t, C.BIG)
+
+
+# Above this per-type primitive count the unrolled graph gets large (compile
+# time) and the MXU/Pallas paths take over.
+SMALL_UNROLL_MAX = 48
+
+
+def _small_sweeps(prims: Primitives, o, d, need_box_inv):
+    """Yield (t [R], global_id scalar) per primitive, type-grouped in the
+    cross-type tie order of the chunked path (tri, sphere, plane, box)."""
+    o_cols = _cols3(o)
+    d_cols = _cols3(d)
+    dx, dy, dz = d_cols
+    ox, oy, oz = o_cols
+    quad = (dx * dx + dy * dy + dz * dz,
+            dx * ox + dy * oy + dz * oz,
+            ox * ox + oy * oy + oz * oz)
+    inv_cols = _cols3(_safe_inv(d)) if need_box_inv else None
+    out = []
+    if prims.n_tri > 0:
+        for i in range(prims.n_tri):
+            out.append((_triangle_t_one(prims.tri_p[i], o_cols, d_cols),
+                        prims.tri_ids[i]))
+    if prims.n_sph > 0:
+        for i in range(prims.n_sph):
+            out.append((_sphere_t_one(prims.sph_p[i], prims.sph_k[i],
+                                      o_cols, d_cols, quad),
+                        prims.sph_ids[i]))
+    if prims.n_pl > 0:
+        for i in range(prims.n_pl):
+            out.append((_plane_t_one(prims.pl_p[i], o_cols, d_cols),
+                        prims.pl_ids[i]))
+    if prims.n_box > 0:
+        for i in range(prims.n_box):
+            out.append((_box_t_one(prims.box_p[i], o_cols, d_cols, inv_cols),
+                        prims.box_ids[i]))
+    return out
+
+
+def _small_closest(prims: Primitives, rays: Rays):
+    o, d = rays.origin, rays.direction
+    R = o.shape[0]
+    t_best = jnp.full((R,), C.BIG, jnp.float32)
+    id_best = jnp.full((R,), -1, jnp.int32)
+    for t, gid in _small_sweeps(prims, o, d, prims.n_box > 0):
+        better = t < t_best
+        t_best = jnp.where(better, t, t_best)
+        id_best = jnp.where(better, gid, id_best)
+    return t_best, jnp.where(t_best >= C.BIG, -1, id_best)
+
+
+def _small_any(prims: Primitives, rays: Rays, max_t):
+    o, d = rays.origin, rays.direction
+    occ = jnp.zeros((o.shape[0],), bool)
+    for t, _ in _small_sweeps(prims, o, d, prims.n_box > 0):
+        occ |= t < max_t
+    return occ
+
+
+def _small_total(prims: Primitives) -> int:
+    return prims.n_tri + prims.n_sph + prims.n_pl + prims.n_box
+
+
 # Pallas fused kernels (ops/pallas_intersect.py) beat the XLA/MXU chunked
 # path once the [R, chunk] HBM round-trips dominate: measured on v5e at
 # 262k rays x 7.4k spheres, 39 ms vs 95 ms per sweep. Below this primitive
@@ -203,6 +361,11 @@ def closest_hit_brute(
     Pallas route makes that explicit with a stop_gradient around its inputs.
     """
     from . import mxu_intersect as mxu
+
+    # Small scenes: fully-unrolled component form (see _small_sweeps) — one
+    # fused elementwise pass, no [R, N] lane waste, no dot_general barriers.
+    if 0 < _small_total(prims) <= SMALL_UNROLL_MAX:
+        return _small_closest(prims, rays)
 
     # Below this primitive count the [R, 3/4]x[3/4, K] matmul doesn't fill
     # MXU lanes and the dense VPU formulas win (measured on v5e: mount's
@@ -365,6 +528,9 @@ def any_hit_brute(
     """
     from . import mxu_intersect as mxu
 
+    if 0 < _small_total(prims) <= SMALL_UNROLL_MAX:
+        return _small_any(prims, rays, max_t)
+
     MXU_MIN = 64
     o, d = rays.origin, rays.direction
     R = o.shape[0]
@@ -457,13 +623,34 @@ def gather_prims(prims: Primitives, obj_id: jnp.ndarray) -> tuple:
 
 
 def per_ray_t(params, ptype, o, d, present=(True, True, True, True)):
-    """t for each ray against its own primitive params: [R]."""
+    """t for each ray against its own gathered primitive params: [R].
 
-    def one(p, pt, oo, dd):
-        t = chunk_t(p[None, :], pt[None], oo[None, :], dd[None, :], present)
-        return t[0, 0]
-
-    return jax.vmap(one)(params, ptype, o, d)
+    Component form over [R] columns (the previous vmapped-chunk version
+    materialized [R,1,3] buffers per op — pure fusion-barrier waste)."""
+    has_sph, has_tri, has_pl, has_box = present
+    o_cols = _cols3(o)
+    d_cols = _cols3(d)
+    pc = [params[:, i] for i in range(12)]
+    t = jnp.full(o.shape[:1], C.BIG, jnp.float32)
+    if has_tri:
+        t = jnp.where(ptype == C.TRIANGLE,
+                      _triangle_t_one(pc, o_cols, d_cols), t)
+    if has_sph:
+        dx, dy, dz = d_cols
+        ox, oy, oz = o_cols
+        quad = (dx * dx + dy * dy + dz * dz,
+                dx * ox + dy * oy + dz * oz,
+                ox * ox + oy * oy + oz * oz)
+        k = pc[0] * pc[0] + pc[1] * pc[1] + pc[2] * pc[2] - pc[3] * pc[3]
+        t = jnp.where(ptype == C.SPHERE,
+                      _sphere_t_one(pc, k, o_cols, d_cols, quad), t)
+    if has_pl:
+        t = jnp.where(ptype == C.PLANE, _plane_t_one(pc, o_cols, d_cols), t)
+    if has_box:
+        inv_cols = _cols3(_safe_inv(d))
+        t = jnp.where(ptype == C.AABOX,
+                      _box_t_one(pc, o_cols, d_cols, inv_cols), t)
+    return t
 
 
 def per_ray_normal(params, ptype, point, o, d,
