@@ -46,11 +46,21 @@ _DEFAULT_ANCHOR = 1.0
 SCENE_DIR = "/root/reference/P3D_RayTracer_Template2/P3D_Scenes"
 
 
-def _bench_scene(rt, scene, cfg, label, res_x, res_y, n_lights, frame_time):
+def _bench_scene(rt, scene, cfg, label, res_x, res_y, n_lights, frame_time,
+                 n_hi=10):
     import jax
     import jax.numpy as jnp
 
     from u_4a_2s_p3d_raytracer_template2_tpu.models.whitted import render_tile
+
+    tile_fn = None
+    if cfg.engine == "megakernel":
+        from u_4a_2s_p3d_raytracer_template2_tpu.models import (
+            whitted_megakernel as mk,
+        )
+
+        if mk.supports(scene, cfg) and jax.default_backend() == "tpu":
+            tile_fn = mk.make_render_tile(scene, cfg)
 
     key = jax.random.PRNGKey(0)
     ys, xs = np.meshgrid(np.arange(res_y, dtype=np.float32),
@@ -61,11 +71,12 @@ def _bench_scene(rt, scene, cfg, label, res_x, res_y, n_lights, frame_time):
     def render_scalar(i):
         # sub-pixel drift by loop index: every frame is distinct work, the
         # scalar fold makes each frame's completion observable
-        img = render_tile(scene, px + 0.37 * i.astype(jnp.float32), py, cfg,
-                          key)
-        return img.sum()
+        x = px + 0.37 * i.astype(jnp.float32)
+        if tile_fn is not None:
+            return tile_fn(x, py, key).sum()
+        return render_tile(scene, x, py, cfg, key).sum()
 
-    dt = frame_time(render_scalar, n_lo=2, n_hi=10, reps=3)
+    dt = frame_time(render_scalar, n_lo=2, n_hi=n_hi, reps=3)
 
     # ray accounting (BASELINE.md): primary + per-light shadow at the top
     # level; secondary levels add reflect/refract + their shadow rays. We
@@ -116,12 +127,16 @@ def main():
     # --- primary metric: mount_low --------------------------------------
     res = 512
     scene = rt.build_scene(mount_scene(res=res))
-    # compacted-wavefront engine: measured faster than the level sweep on
-    # v5e for this frame; exact vs the sweep for deterministic configs
-    # (tests/test_wavefront.py pins parity).
-    cfg = rt.RenderConfig(engine="wavefront")
+    # scene-baked Pallas megakernel (models/whitted_megakernel.py): the
+    # whole depth-4 recursion in one kernel, 1.9 ms/frame on v5e vs the
+    # wavefront engine's 61.8 ms. Image parity vs the XLA engines pinned by
+    # tests/test_megakernel.py (CPU interpret) + on-device check (max pixel
+    # delta 4.9e-3, mean 1.7e-7 vs the wavefront on the same frame).
+    # Falls back to the wavefront engine off-TPU.
+    cfg = rt.RenderConfig(engine="megakernel")
+    # frame is ~2 ms: a longer loop keeps the slope well above tunnel noise
     r = _bench_scene(rt, scene, cfg, "mount_low", res, res, scene.n_lights,
-                     frame_time)
+                     frame_time, n_hi=110)
     results.append(r)
     print(json.dumps(r), flush=True)
 

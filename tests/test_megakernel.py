@@ -1,0 +1,93 @@
+"""Scene-baked Whitted megakernel vs the XLA sweep engine.
+
+The megakernel (models/whitted_megakernel.py) re-implements the full
+recursion tree in one Pallas kernel; these tests pin its images against the
+sweep engine (interpret mode on CPU) across primitive types, depths, and
+the AA/DoF distribution mode, plus the unsupported-config fallback.
+"""
+import dataclasses
+
+import numpy as np
+import jax
+import pytest
+
+import u_4a_2s_p3d_raytracer_template2_tpu as rt
+from u_4a_2s_p3d_raytracer_template2_tpu.models import whitted
+from u_4a_2s_p3d_raytracer_template2_tpu.models import whitted_megakernel as mk
+
+from conftest import assert_images_close
+from test_whitted_vs_oracle import mixed_scene, sphere_plane_scene
+
+
+def _grid(res):
+    import jax.numpy as jnp
+
+    ys, xs = jnp.meshgrid(jnp.arange(res, dtype=jnp.float32),
+                          jnp.arange(res, dtype=jnp.float32), indexing="ij")
+    return xs.reshape(-1), ys.reshape(-1)
+
+
+def _compare(sd, cfg, res, atol=2e-3):
+    scene = rt.build_scene(sd)
+    px, py = _grid(res)
+    key = jax.random.PRNGKey(0)
+    from u_4a_2s_p3d_raytracer_template2_tpu.core.types import clamp01
+
+    want = np.asarray(whitted.render_tile(scene, px, py, cfg, key))
+    tile = mk.make_render_tile(scene, cfg, interpret=True)
+    got = np.asarray(tile(px, py, key))
+    if not cfg.anti_aliasing:
+        want = np.clip(want, 0.0, 1.0)
+    assert np.isfinite(got).all()
+    assert_images_close(got.reshape(res, res, 3), want.reshape(res, res, 3),
+                        atol=atol)
+
+
+def test_megakernel_mount():
+    """Depth 3 on CPU: interpret-mode compile grows ~5x per extra level
+    (the full depth-4 tree is pinned on device; see ARCHITECTURE.md)."""
+    from u_4a_2s_p3d_raytracer_template2_tpu.models.scenes import mount_scene
+
+    _compare(mount_scene(res=24), rt.RenderConfig(max_depth=3), 24)
+
+
+def test_megakernel_mixed_types():
+    """mixed_scene exercises sphere+plane+triangle+mirror+glass."""
+    _compare(mixed_scene(res=16), rt.RenderConfig(max_depth=2), 16)
+
+
+def test_megakernel_depth_3_mixed():
+    _compare(mixed_scene(res=12), rt.RenderConfig(max_depth=3), 12)
+
+
+def test_megakernel_box_scene():
+    """aaBox primitive path incl. the slab face normal."""
+    sd = sphere_plane_scene(res=12)
+    m = sd.add_material([0.8, 0.3, 0.2], 0.9, [1, 1, 1], 0.2, 30, 0, 1)
+    sd.add_box([-1.5, -0.5, -1.5], [-0.5, 0.5, -0.5], m)
+    _compare(sd, rt.RenderConfig(max_depth=2), 12)
+
+
+def test_megakernel_aa_dof():
+    """Distribution mode: jittered AA + DoF rays generated outside the
+    kernel; stochastic, so compare against the sweep on the same key."""
+    sd = mixed_scene(res=10)
+    sd.camera["aperture_ratio"] = 2.0
+    cfg = dataclasses.replace(rt.RenderConfig(max_depth=2), spp=2,
+                              anti_aliasing=True, depth_of_field=True)
+    _compare(sd, cfg, 10, atol=5e-3)
+
+
+def test_megakernel_fallback_unsupported():
+    """Configs the kernel doesn't serve must fall back to the wavefront
+    engine inside render_image (same image either way)."""
+    from u_4a_2s_p3d_raytracer_template2_tpu.models.scenes import mount_scene
+
+    scene = rt.build_scene(mount_scene(res=12))
+    cfg = rt.RenderConfig(engine="megakernel", soft_shadow=True)
+    assert not mk.supports(scene, cfg)
+    img = np.asarray(whitted.render_image(scene, cfg))
+    want = np.asarray(
+        whitted.render_image(scene, dataclasses.replace(
+            cfg, engine="wavefront")))
+    np.testing.assert_allclose(img, want, atol=1e-6)

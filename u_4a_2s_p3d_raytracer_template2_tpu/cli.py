@@ -62,6 +62,7 @@ def _config(args, scene):
         use_skybox=args.skybox,
         fresnel_mode=args.fresnel,
         refraction_mode=args.refraction,
+        engine=getattr(args, "engine", "sweep") or "sweep",
     )
     cfg = cfg.with_scene_flags(scene)
     if args.spp is not None:
@@ -314,6 +315,10 @@ def main(argv=None):
                                  "reference_exact"])
         sp.add_argument("--refraction", default="reference",
                         choices=["reference", "physical"])
+        sp.add_argument("--engine", default="sweep",
+                        choices=["sweep", "wavefront", "megakernel"],
+                        help="secondary-ray engine; megakernel = "
+                        "scene-baked Pallas kernel (TPU, small scenes)")
 
     pr = sub.add_parser("render", help="render a scene to PNG")
     common(pr)

@@ -263,7 +263,10 @@ class RenderConfig:
     # Secondary-ray engine: "sweep" = full 2^l level sweep (exact for every
     # scene); "wavefront" = stream-compacted queue (models/whitted_wavefront
     # .py) — identical images for deterministic configs, ~the active-lane
-    # fraction cheaper on real scenes.
+    # fraction cheaper on real scenes; "megakernel" = scene-baked Pallas
+    # kernel (models/whitted_megakernel.py) — the whole recursion tree in
+    # one kernel for small scenes/deterministic configs, falling back to
+    # wavefront when unsupported (render_image-level dispatch).
     engine: str = "sweep"
     # queue capacity = ceil(primary_count * this) in wavefront mode
     wavefront_capacity: float = 1.0

@@ -17,6 +17,8 @@ one straight-line program per level.
 """
 from __future__ import annotations
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 
@@ -310,6 +312,11 @@ def trace_rays(scene: Scene, rays: Rays, cfg: RenderConfig, key,
 
 
 def _trace_fn(cfg: RenderConfig):
+    if cfg.engine == "megakernel":
+        # render_tile sees the scene as a traced pytree, which cannot be
+        # baked into a kernel — render_image dispatches the real megakernel
+        # path; a direct render_tile call degrades to the wavefront engine.
+        cfg = dataclasses.replace(cfg, engine="wavefront")
     if cfg.engine == "wavefront":
         from .whitted_wavefront import trace_rays_wavefront
 
@@ -384,12 +391,29 @@ def render_image(scene: Scene, cfg: RenderConfig, key=None, *,
     px = xs.reshape(-1)
     py = ys.reshape(-1)
 
+    tile_fn = None
+    if cfg.engine == "megakernel":
+        # scene-baked Pallas megakernel when the (scene, cfg) qualifies;
+        # otherwise degrade to the wavefront engine (same images for the
+        # deterministic configs the megakernel serves)
+        import dataclasses as _dc
+
+        from . import whitted_megakernel as mk
+
+        if mk.supports(scene, cfg) and jax.default_backend() == "tpu":
+            tile_fn = mk.make_render_tile(scene, cfg)
+        else:
+            cfg = _dc.replace(cfg, engine="wavefront")
+
     n = cam.res_y * cam.res_x
     tile = n if tile_rows <= 0 else tile_rows * cam.res_x
     chunks = []
     for start in range(0, n, tile):
         key, sub = jax.random.split(key)
         end = min(start + tile, n)
-        chunks.append(render_tile_jit(scene, px[start:end], py[start:end],
-                                      cfg, sub))
+        if tile_fn is not None:
+            chunks.append(tile_fn(px[start:end], py[start:end], sub))
+        else:
+            chunks.append(render_tile_jit(scene, px[start:end],
+                                          py[start:end], cfg, sub))
     return jnp.concatenate(chunks, axis=0).reshape(cam.res_y, cam.res_x, 3)

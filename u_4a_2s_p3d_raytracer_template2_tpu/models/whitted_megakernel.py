@@ -1,0 +1,530 @@
+"""Scene-baked Whitted megakernel — the whole depth-D recursion tree in ONE
+Pallas kernel, zero HBM intermediates.
+
+Both XLA engines (models/whitted.py sweep, models/whitted_wavefront.py)
+re-materialize tens of [R,·] buffers between fusion boundaries every level:
+XLA's own cost model put the depth-4 mount frame at 22 GB of HBM traffic for
+~4 GFLOP of math (measured 61.8 ms on v5e — purely bandwidth/scatter bound).
+For scenes whose primitive count is small (the mount/balls_medium class —
+the reference's primary benchmark scenes), the entire scene fits in
+registers: this module unrolls the full static Whitted tree (SURVEY.md §3.3)
+over the scene's primitives INSIDE one kernel, so a frame's HBM traffic is
+exactly rays-in (6 f32) and color-out (3 f32) per pixel.
+
+Design choices, all TPU-first:
+  * Rays occupy both sublanes and lanes ([SUB, 128] f32 blocks) — every ALU
+    lane does useful work; there is no [R, N_prims] buffer anywhere.
+  * The scene (primitive params, per-primitive materials, lights, bg) is
+    BAKED into the kernel as immediate constants — the direct analogue of
+    the reference's own GLSL path tracer whose world is hardcoded in the
+    shader (P3D_RT.glsl:12-180). Mosaic constant-folds and schedules the
+    unrolled per-primitive tests back-to-back. One compile per scene,
+    cached; camera/ray inputs stay dynamic.
+  * The recursion (main.cpp:530-721) unrolls as a static preorder tree:
+    reflection child descends inline, refraction child's throughput weight
+    folds per the linear combine color = local + KR·spec·refl + (1-KR)·refr
+    (main.cpp:719) — identical math to the wavefront engine's weights.
+    Static material-population pruning (has_reflective/has_transmissive)
+    prunes absent subtrees exactly like the XLA engines.
+
+Scope (v1, deterministic configs — the benchmark semantics): no soft
+shadows, no fuzzy reflection, no skybox-on-miss, no AA coupling inside the
+kernel (AA jitter happens outside in ray generation). render_image falls
+back to the wavefront engine when a config needs the stochastic features.
+
+Semantics per node match ops/intersect.py's component forms (EPSILON
+cutoffs, strict-< first-wins closest hit, shadow max_t=1 on unnormalized L,
+spec×0.4, Schlick Fresnel with KR=1 on TIR, the reference's tangent-form
+refraction direction) — pinned against the sweep engine by
+tests/test_megakernel.py.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core import constants as C
+
+_EPS = C.EPSILON
+
+SUB = 64          # sublane rows per program: SUB*128 = 8192 rays/program
+LANE = 128
+
+# primitive-count ceiling for baking (compile time grows with prims x nodes)
+BAKE_MAX_PRIMS = 64
+
+
+def _rsqrt_safe(x):
+    ok = x > 0.0
+    return jnp.where(ok, jax.lax.rsqrt(jnp.where(ok, x, 1.0)), 0.0)
+
+
+class _SceneConsts:
+    """Host-side numpy snapshot of everything baked into the kernel."""
+
+    def __init__(self, scene):
+        prims = scene.prims
+        params = np.asarray(prims.params)
+        ptype = np.asarray(prims.ptype)
+        mat_id = np.asarray(prims.mat_id)
+        mats = scene.materials
+        m = {k: np.asarray(getattr(mats, k))
+             for k in ("diff_color", "kd", "spec_color", "ks", "shine",
+                       "transmit", "ior")}
+        # type-grouped order = the chunked path's cross-type tie order
+        order = []
+        for code in (C.TRIANGLE, C.SPHERE, C.PLANE, C.AABOX):
+            order += [i for i in range(scene.n_objects) if ptype[i] == code]
+        self.objs = []
+        for i in order:
+            mi = mat_id[i]
+            self.objs.append(dict(
+                ptype=int(ptype[i]),
+                p=[float(x) for x in params[i]],
+                diff=[float(x) for x in m["diff_color"][mi]],
+                spec=[float(x) for x in m["spec_color"][mi]],
+                kd=float(m["kd"][mi]), ks=float(m["ks"][mi]),
+                shine=float(m["shine"][mi]),
+                transmit=float(m["transmit"][mi]),
+                ior=float(m["ior"][mi]),
+            ))
+        self.lights = [([float(x) for x in np.asarray(scene.lights.position)[i]],
+                        [float(x) for x in np.asarray(scene.lights.color)[i]])
+                       for i in range(scene.n_lights)]
+        self.bg = [float(x) for x in np.asarray(scene.bg_color)]
+        self.has_refl = bool(scene.has_reflective)
+        self.has_refr = bool(scene.has_transmissive)
+        self.n = scene.n_objects
+
+
+def _prim_test(obj, o, d, quad, inv):
+    """(t, normal_at_hit, hit_ok) for one baked primitive on [SUB,LANE]
+    blocks. Normals follow ops/intersect.per_ray_normal semantics."""
+    ox, oy, oz = o
+    dx, dy, dz = d
+    p = obj["p"]
+    t_kind = obj["ptype"]
+    if t_kind == C.SPHERE:
+        cx, cy, cz, r = p[0], p[1], p[2], p[3]
+        k = cx * cx + cy * cy + cz * cz - r * r
+        a, do, oo = quad
+        oc = ox * cx + oy * cy + oz * cz
+        dc = dx * cx + dy * cy + dz * cz
+        b = 2.0 * (do - dc)
+        cc = oo - 2.0 * oc + k
+        delta = b * b - 4.0 * a * cc
+        pos = delta > 0.0
+        sq = jnp.sqrt(jnp.where(pos, delta, 1.0)) * pos
+        t0 = (-b - sq) / (2.0 * a)
+        t1 = (-b + sq) / (2.0 * a)
+        lo = jnp.minimum(t0, t1)
+        hi = jnp.maximum(t0, t1)
+        t = jnp.where(lo < 0.0, hi, lo)
+        ok = pos & (t >= 0.0)
+        # normal = (p - c)/r with the sign of the actual distance (normalize)
+        px_ = ox + dx * t - cx
+        py_ = oy + dy * t - cy
+        pz_ = oz + dz * t - cz
+        inv_n = _rsqrt_safe(px_ * px_ + py_ * py_ + pz_ * pz_)
+        return t, (px_ * inv_n, py_ * inv_n, pz_ * inv_n), ok
+    if t_kind == C.TRIANGLE:
+        v0x, v0y, v0z = p[0], p[1], p[2]
+        e1x, e1y, e1z = p[3], p[4], p[5]
+        e2x, e2y, e2z = p[6], p[7], p[8]
+        nx_, ny_, nz_ = p[9], p[10], p[11]
+        hx = dy * e2z - dz * e2y
+        hy = dz * e2x - dx * e2z
+        hz = dx * e2y - dy * e2x
+        det = e1x * hx + e1y * hy + e1z * hz
+        ok = jnp.abs(det) > _EPS
+        f = 1.0 / jnp.where(ok, det, 1.0)
+        sx = ox - v0x
+        sy = oy - v0y
+        sz = oz - v0z
+        u = f * (sx * hx + sy * hy + sz * hz)
+        ok &= (u >= 0.0) & (u <= 1.0)
+        qx = sy * e1z - sz * e1y
+        qy = sz * e1x - sx * e1z
+        qz = sx * e1y - sy * e1x
+        v = f * (dx * qx + dy * qy + dz * qz)
+        ok &= (v >= 0.0) & (u + v <= 1.0)
+        t = f * (e2x * qx + e2y * qy + e2z * qz)
+        ok &= t > _EPS
+        full = jnp.full_like(t, 1.0)
+        return t, (nx_ * full, ny_ * full, nz_ * full), ok
+    if t_kind == C.PLANE:
+        pnx, pny, pnz, dd = p[0], p[1], p[2], p[3]
+        denom = dx * pnx + dy * pny + dz * pnz
+        ok = jnp.abs(denom) > _EPS
+        t = -(ox * pnx + oy * pny + oz * pnz + dd) / jnp.where(ok, denom, 1.0)
+        ok &= t > 0.0
+        full = jnp.full_like(t, 1.0)
+        return t, (pnx * full, pny * full, pnz * full), ok
+    # AABOX — slab test + entry/exit face normal (scene.cpp:198-283)
+    t_in = None
+    t_out = None
+    tmins = []
+    tmaxs = []
+    for ax in range(3):
+        iv = inv[ax]
+        lo = (p[ax] - o[ax]) * iv
+        hi = (p[3 + ax] - o[ax]) * iv
+        pos = iv >= 0.0
+        tmin = jnp.where(pos, lo, hi)
+        tmax = jnp.where(pos, hi, lo)
+        tmins.append(tmin)
+        tmaxs.append(tmax)
+        t_in = tmin if t_in is None else jnp.maximum(t_in, tmin)
+        t_out = tmax if t_out is None else jnp.minimum(t_out, tmax)
+    ok = (t_in < t_out) & (t_out > _EPS)
+    use_in = t_in > _EPS
+    t = jnp.where(use_in, t_in, t_out)
+    ncols = []
+    for ax in range(3):
+        on_in = tmins[ax] >= t_in
+        on_out = tmaxs[ax] <= t_out
+        s_in = jnp.where(tmins[ax] < 0, -1.0, 1.0)
+        s_out = jnp.where(tmaxs[ax] < 0, -1.0, 1.0)
+        ncols.append(jnp.where(use_in, jnp.where(on_in, s_in, 0.0),
+                               jnp.where(on_out, s_out, 0.0)))
+    return t, tuple(ncols), ok
+
+
+def _closest(consts, o, d, quad, inv):
+    """Unrolled closest hit: fold (t, hit, normal, material fields)."""
+    t_b = jnp.full_like(o[0], C.BIG)
+    hit_b = jnp.zeros_like(o[0], bool)
+    zero = jnp.zeros_like(o[0])
+    n_b = [zero, zero, zero]
+    mat_b = dict(diff=[zero] * 3, spec=[zero] * 3, kd=zero, ks=zero,
+                 shine=zero, transmit=zero, ior=zero)
+    for obj in consts.objs:
+        t, n, ok = _prim_test(obj, o, d, quad, inv)
+        t = jnp.where(ok, t, C.BIG)
+        better = t < t_b
+        t_b = jnp.where(better, t, t_b)
+        hit_b = hit_b | (better & ok)
+        for ax in range(3):
+            n_b[ax] = jnp.where(better, n[ax], n_b[ax])
+            mat_b["diff"][ax] = jnp.where(better, obj["diff"][ax],
+                                          mat_b["diff"][ax])
+            mat_b["spec"][ax] = jnp.where(better, obj["spec"][ax],
+                                          mat_b["spec"][ax])
+        for k in ("kd", "ks", "shine", "transmit", "ior"):
+            mat_b[k] = jnp.where(better, obj[k], mat_b[k])
+    return t_b, hit_b, n_b, mat_b
+
+
+def _occluded(consts, o, d, quad, inv, max_t):
+    occ = jnp.zeros_like(o[0], bool)
+    for obj in consts.objs:
+        t, _, ok = _prim_test(obj, o, d, quad, inv)
+        occ |= ok & (t < max_t)
+    return occ
+
+
+def _quad_inv(o, d, need_inv):
+    ox, oy, oz = o
+    dx, dy, dz = d
+    quad = (dx * dx + dy * dy + dz * dz,
+            dx * ox + dy * oy + dz * oz,
+            ox * ox + oy * oy + oz * oz)
+    inv = None
+    if need_inv:
+        inv = []
+        for comp in d:
+            tiny = jnp.abs(comp) < 1e-30
+            sign = jnp.where(comp < 0.0, -1.0, 1.0)
+            inv.append(jnp.where(tiny, sign * 1e30,
+                                 1.0 / jnp.where(tiny, 1.0, comp)))
+        inv = tuple(inv)
+    return quad, inv
+
+
+def _direct_light(consts, o, d, hp, precise, n, mat, hit, need_inv,
+                  shadow_unbounded):
+    """processLight over baked lights (main.cpp:471-526)."""
+    zero = jnp.zeros_like(o[0])
+    col = [zero, zero, zero]
+    # V = -d normalized
+    vx, vy, vz = -d[0], -d[1], -d[2]
+    iv = _rsqrt_safe(vx * vx + vy * vy + vz * vz)
+    vx, vy, vz = vx * iv, vy * iv, vz * iv
+    for lpos, lcol in consts.lights:
+        Lx = lpos[0] - hp[0]
+        Ly = lpos[1] - hp[1]
+        Lz = lpos[2] - hp[2]
+        facing = (Lx * n[0] + Ly * n[1] + Lz * n[2]) > 0.0
+        squad, sinv = _quad_inv(precise, (Lx, Ly, Lz), need_inv)
+        max_t = C.BIG if shadow_unbounded else 1.0
+        occ = _occluded(consts, precise, (Lx, Ly, Lz), squad, sinv, max_t)
+        lit = hit & facing & ~occ
+        il = _rsqrt_safe(Lx * Lx + Ly * Ly + Lz * Lz)
+        lx, ly, lz = Lx * il, Ly * il, Lz * il
+        hx, hy, hz = lx + vx, ly + vy, lz + vz
+        ih = _rsqrt_safe(hx * hx + hy * hy + hz * hz)
+        hx, hy, hz = hx * ih, hy * ih, hz * ih
+        ndl = jnp.maximum(0.0, lx * n[0] + ly * n[1] + lz * n[2])
+        vdn = jnp.maximum(0.0, hx * n[0] + hy * n[1] + hz * n[2])
+        vdn_safe = jnp.where(vdn > 0.0, vdn, 1.0)
+        spec_pow = jnp.where(vdn > 0.0, vdn_safe ** mat["shine"],
+                             jnp.where(mat["shine"] == 0.0, 1.0, 0.0))
+        for ax in range(3):
+            contrib = (lcol[ax] * mat["diff"][ax] * ndl * mat["kd"]
+                       + lcol[ax] * mat["spec"][ax] * spec_pow
+                       * (mat["ks"] * 0.4))
+            col[ax] = col[ax] + jnp.where(lit, contrib, 0.0)
+    return col
+
+
+def _node(consts, cfg, o, d, ior_in, depth, need_inv):
+    """One Whitted node, recursing statically into its children.
+    Returns [3] color block components (already bg-on-miss)."""
+    quad, inv = _quad_inv(o, d, need_inv)
+    t, hit, n, mat = _closest(consts, o, d, quad, inv)
+    # reference normalizes the winner normal (main.cpp:587); folded normals
+    # are unit except aaBox corner ties, one rsqrt covers all cases
+    inn = _rsqrt_safe(n[0] * n[0] + n[1] * n[1] + n[2] * n[2])
+    n = (n[0] * inn, n[1] * inn, n[2] * inn)
+    t = jnp.where(hit, t, 1.0)
+    hp = tuple(o[ax] + d[ax] * t for ax in range(3))
+    precise = tuple(hp[ax] + n[ax] * _EPS for ax in range(3))
+
+    local = _direct_light(consts, o, d, hp, precise, n, mat, hit, need_inv,
+                          cfg.shadow_unbounded)
+
+    leaf = depth >= cfg.max_depth
+    spawn_refl = (not leaf) and consts.has_refl
+    spawn_refr = (not leaf) and consts.has_refr
+    if leaf or not (spawn_refl or spawn_refr):
+        # depth cap clamps local (main.cpp:632-634)
+        out = []
+        for ax in range(3):
+            c = jnp.clip(local[ax], 0.0, 1.0) if leaf else local[ax]
+            out.append(jnp.where(hit, c, consts.bg[ax]))
+        return out
+
+    # flipped normal for secondary math (main.cpp:639-643)
+    ddn = d[0] * n[0] + d[1] * n[1] + d[2] * n[2]
+    inside = ddn > 0.0
+    sgn = jnp.where(inside, -1.0, 1.0)
+    nf = tuple(n[ax] * sgn for ax in range(3))
+    dnf = ddn * sgn
+
+    color = [jnp.where(hit, local[ax], consts.bg[ax]) for ax in range(3)]
+
+    # Fresnel KR (main.cpp:699-717), Schlick mode, and refraction setup
+    if spawn_refr:
+        ndv = -dnf  # dot(nf, V) with V = -d (d unit)
+        vnx = nf[0] * ndv - (-d[0])
+        vny = nf[1] * ndv - (-d[1])
+        vnz = nf[2] * ndv - (-d[2])
+        # viewtangent = viewnormal - V
+        mior = jnp.where(mat["ior"] > 0.0, mat["ior"], 1.0)
+        eta = jnp.where(inside, ior_in, ior_in / mior)
+        cos_i = jnp.abs(ndv)
+        vt2 = vnx * vnx + vny * vny + vnz * vnz
+        sin_t = eta * jnp.sqrt(jnp.maximum(vt2, 1e-24))
+        insq = 1.0 - sin_t * sin_t
+        can = insq > 0.0
+        it = _rsqrt_safe(jnp.maximum(vt2, 1e-24))
+        new_ior = jnp.where(inside, 1.0, mior)
+        rdx = vnx * it * sin_t + nf[0]
+        rdy = vny * it * sin_t + nf[1]
+        rdz = vnz * it * sin_t + nf[2]
+        refr_active = hit & (mat["transmit"] != 0.0) & can
+        rdx = jnp.where(refr_active, rdx, 0.0)
+        rdy = jnp.where(refr_active, rdy, 0.0)
+        rdz = jnp.where(refr_active, rdz, 1.0)
+        r0 = ((ior_in - new_ior) / (ior_in + new_ior)) ** 2
+        schlick = r0 + (1.0 - r0) * (1.0 - cos_i) ** 5
+        kr_t = jnp.where(can, schlick, 1.0)
+        kr = jnp.where(mat["transmit"] != 0.0, kr_t, mat["ks"])
+    else:
+        kr = mat["ks"]
+
+    if spawn_refl:
+        # mirror direction (main.cpp:646-667); unit since d unit, nf unit
+        rx = d[0] - 2.0 * nf[0] * dnf
+        ry = d[1] - 2.0 * nf[1] * dnf
+        rz = d[2] - 2.0 * nf[2] * dnf
+        irr = _rsqrt_safe(rx * rx + ry * ry + rz * rz)
+        refl_col = _node(consts, cfg, precise,
+                         (rx * irr, ry * irr, rz * irr),
+                         ior_in, depth + 1, need_inv)
+        w = hit & (mat["ks"] > 0.0)
+        for ax in range(3):
+            color[ax] = color[ax] + jnp.where(
+                w, refl_col[ax] * kr * mat["spec"][ax], 0.0)
+
+    if spawn_refr:
+        ro = tuple(hp[ax] + (rdx, rdy, rdz)[ax] * 0.001 for ax in range(3))
+        refr_col = _node(consts, cfg, ro, (rdx, rdy, rdz),
+                         new_ior, depth + 1, need_inv)
+        for ax in range(3):
+            color[ax] = color[ax] + jnp.where(
+                refr_active, refr_col[ax] * (1.0 - kr), 0.0)
+
+    return color
+
+
+def _build_kernel(consts: _SceneConsts, cfg):
+    need_inv = any(ob["ptype"] == C.AABOX for ob in consts.objs)
+
+    def kernel(ox, oy, oz, dx, dy, dz, r_out, g_out, b_out):
+        o = (ox[:], oy[:], oz[:])
+        d = (dx[:], dy[:], dz[:])
+        col = _node(consts, cfg, o, d, jnp.ones_like(o[0]), 1, need_inv)
+        r_out[:] = jnp.clip(col[0], 0.0, 1.0)
+        g_out[:] = jnp.clip(col[1], 0.0, 1.0)
+        b_out[:] = jnp.clip(col[2], 0.0, 1.0)
+
+    return kernel
+
+
+def supports(scene, cfg) -> bool:
+    """Configs/scenes the baked megakernel can serve (see module doc)."""
+    return (scene.n_objects <= BAKE_MAX_PRIMS
+            and not cfg.soft_shadow
+            and not cfg.fuzzy_reflection
+            and not (cfg.use_skybox and scene.has_skybox)
+            and cfg.fresnel_mode == "schlick"
+            and cfg.refraction_mode == "reference")
+
+
+@functools.lru_cache(maxsize=8)
+def _trace_fn_cached(consts_key, cfg, interpret):
+    consts, = consts_key  # unwrap the singleton holder
+
+    kernel = _build_kernel(consts, cfg)
+    spec = pl.BlockSpec((SUB, LANE), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+
+    @jax.jit
+    def trace(o, d):
+        R = o.shape[0]
+        pad = (-R) % (SUB * LANE)
+        if pad:
+            o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
+            d = jnp.concatenate(
+                [d, jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], d.dtype),
+                                     (pad, 3))])
+        rows = o.shape[0] // LANE
+        cols = [a.reshape(rows, LANE) for a in
+                (o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2])]
+        outs = pl.pallas_call(
+            kernel,
+            grid=(rows // SUB,),
+            in_specs=[spec] * 6,
+            out_specs=(spec, spec, spec),
+            out_shape=tuple(
+                jax.ShapeDtypeStruct((rows, LANE), jnp.float32)
+                for _ in range(3)),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(*cols)
+        color = jnp.stack([a.reshape(-1) for a in outs], -1)
+        return color[:R]
+
+    return trace
+
+
+class _ConstsKey:
+    """Hashable singleton wrapper so lru_cache can key on scene identity."""
+
+    def __init__(self, consts, token):
+        self.consts = consts
+        self.token = token
+
+    def __hash__(self):
+        return hash(self.token)
+
+    def __eq__(self, other):
+        return isinstance(other, _ConstsKey) and self.token == other.token
+
+    def __iter__(self):  # unwrap via consts, = key
+        yield self.consts
+
+
+def _consts_token(consts: _SceneConsts) -> tuple:
+    """Value digest of everything baked — safe cache key across scenes."""
+    import hashlib
+
+    h = hashlib.sha1()
+    for ob in consts.objs:
+        h.update(repr((ob["ptype"], ob["p"], ob["diff"], ob["spec"],
+                       ob["kd"], ob["ks"], ob["shine"], ob["transmit"],
+                       ob["ior"])).encode())
+    h.update(repr((consts.lights, consts.bg, consts.has_refl,
+                   consts.has_refr)).encode())
+    return (h.hexdigest(),)
+
+
+def trace_rays_megakernel(scene, cfg, interpret: bool = False):
+    """Returns trace(o, d) -> [R,3] color for the baked (scene, cfg).
+
+    Bakes the scene's current host values; re-call after mutating the scene.
+    """
+    consts = _SceneConsts(scene)
+    return _trace_fn_cached(_ConstsKey(consts, _consts_token(consts)), cfg,
+                            interpret)
+
+
+# ---------------------------------------------------------------------------
+# tile renderer (the render_tile equivalent for the baked engine)
+
+
+def make_render_tile(scene, cfg, interpret: bool = False):
+    """Jitted (px, py, key) -> [R,3] tile renderer over the baked kernel.
+
+    Mirrors models/whitted.render_tile's pixel semantics (center +0.5, the
+    spp x spp jittered AA scan with the /16 quirk switch, DoF/motion-blur
+    ray generation) — the stochastic pieces all live OUTSIDE the kernel.
+    """
+    import dataclasses
+
+    from ..ops.camera import primary_rays
+
+    trace = trace_rays_megakernel(scene, cfg, interpret)
+    camera = scene.camera
+
+    @jax.jit
+    def tile(px, py, key):
+        if not cfg.anti_aliasing:
+            key, kcam = jax.random.split(key)
+            rays = primary_rays(camera, px + 0.5, py + 0.5, kcam,
+                                depth_of_field=cfg.depth_of_field,
+                                motion_blur=cfg.motion_blur)
+            return trace(rays.origin, rays.direction)
+
+        spp = max(cfg.spp, 1)
+        R = px.shape[0]
+        ij = jnp.array(
+            [(float(i), float(j)) for i in range(spp) for j in range(spp)],
+            jnp.float32)
+        keys = jax.random.split(key, spp * spp)
+
+        def body(acc, inp):
+            (i, j), k = inp
+            kj, kcam = jax.random.split(k)
+            r2 = jax.random.uniform(kj, (R, 2), jnp.float32)
+            rays = primary_rays(camera, px + (i + r2[:, 0]) / spp,
+                                py + (j + r2[:, 1]) / spp, kcam,
+                                depth_of_field=cfg.depth_of_field,
+                                motion_blur=cfg.motion_blur)
+            return acc + trace(rays.origin, rays.direction), None
+
+        acc, _ = jax.lax.scan(body, jnp.zeros((R, 3), jnp.float32),
+                              (ij, keys))
+        denom = 16.0 if cfg.reference_aa_div16 else float(spp * spp)
+        return acc / denom
+
+    return tile
