@@ -111,8 +111,11 @@ def main():
     results = []
 
     # --- secondary scenes first (headline line must be LAST) -------------
-    for name, label, accel in (("balls_high.p3f", "balls_high", None),
-                               ("dragon.p3f", "dragon", 2)):
+    # dragon frames run seconds (65k incoherent deep rays over 100k tris):
+    # a short loop keeps the bench bounded while still cancelling dispatch
+    for name, label, accel, n_hi in (
+            ("balls_high.p3f", "balls_high", None, 10),
+            ("dragon.p3f", "dragon", 2, 4)):
         path = os.path.join(SCENE_DIR, name)
         if not os.path.exists(path):
             continue
@@ -120,7 +123,8 @@ def main():
         scene = rt.build_scene(sd, accel=accel)
         cfg = rt.RenderConfig(engine="wavefront").with_scene_flags(scene)
         r = _bench_scene(rt, scene, cfg, label, scene.camera.res_x,
-                         scene.camera.res_y, scene.n_lights, frame_time)
+                         scene.camera.res_y, scene.n_lights, frame_time,
+                         n_hi=n_hi)
         results.append(r)
         print(json.dumps(r), flush=True)
 
