@@ -127,7 +127,7 @@ def build_clusters(params: np.ndarray, ptype: np.ndarray,
 
 
 def _cluster_slab(bmin, bmax, o, d):
-    """[R, Cc] conservative hit mask for cluster AABBs."""
+    """[R, Cc] conservative hit mask + entry t for cluster AABBs."""
     inv = _safe_inv(d)[:, None, :]
     lo = (bmin[None, :, :] - o[:, None, :]) * inv
     hi = (bmax[None, :, :] - o[:, None, :]) * inv
@@ -135,7 +135,7 @@ def _cluster_slab(bmin, bmax, o, d):
     tmax = jnp.maximum(lo, hi)
     t0 = jnp.max(tmin, -1)
     t1 = jnp.min(tmax, -1)
-    return (t0 <= t1) & (t1 > 0.0)
+    return (t0 <= t1) & (t1 > 0.0), t0
 
 
 ROUND_W = 8  # clusters fetched per while-loop round (amortizes loop overhead)
@@ -152,11 +152,21 @@ def _sweep_type(kernel, tables, ids2d, bmin, bmax, o_t, d_t, carry):
     Cc = ids2d.shape[0]
     W = min(ROUND_W, Cc)
 
-    hit = _cluster_slab(bmin, bmax, o_t.reshape(-1, 3), d_t.reshape(-1, 3))
-    hit = hit.reshape(T, tile, Cc).any(axis=1)          # [T, Cc]
+    hit, t0 = _cluster_slab(bmin, bmax, o_t.reshape(-1, 3),
+                            d_t.reshape(-1, 3))
+    hit = hit.reshape(T, tile, Cc)
+    # per-tile conservative entry distance: min over the tile's rays
+    t0_min = jnp.min(jnp.where(hit, t0.reshape(T, tile, Cc), C.BIG),
+                     axis=1)                            # [T, Cc]
+    hit = hit.any(axis=1)                               # [T, Cc]
     counts = hit.sum(axis=1)                            # [T]
-    # stable partition: worklist = hit clusters first, in cluster order
-    wl = jnp.argsort(~hit, axis=1, stable=True).astype(jnp.int32)  # [T, Cc]
+    # FRONT-TO-BACK worklist: hit clusters ordered by tile entry distance.
+    # Exactness of the early exit below: a remaining (sorted-later) cluster
+    # c can only produce hits with t >= t0(ray,c) >= t0_min(c) >= next_t0,
+    # so once every lane's running best is <= next_t0 the tile is done.
+    sort_key = jnp.where(hit, t0_min, C.BIG)
+    wl = jnp.argsort(sort_key, axis=1, stable=True).astype(jnp.int32)
+    t0_sorted = jnp.sort(sort_key, axis=1)              # [T, Cc]
     n_rounds = (jnp.max(counts) + W - 1) // W
 
     def round_body(state):
@@ -173,7 +183,11 @@ def _sweep_type(kernel, tables, ids2d, bmin, bmax, o_t, d_t, carry):
         return (r + 1, t_best, id_best)
 
     def round_cond(state):
-        return state[0] < n_rounds
+        r, t_best, _ = state
+        nxt = t0_sorted[:, jnp.clip(r * W, 0, Cc - 1)]  # [T]
+        nxt = jnp.where(r * W < counts, nxt, C.BIG)
+        live = jnp.any(t_best > nxt[:, None])
+        return (r < n_rounds) & live
 
     t_best, id_best = carry
     _, t_best, id_best = jax.lax.while_loop(
@@ -505,8 +519,11 @@ def clustered_closest_hit(ct: ClusterTables, prims: Primitives, rays: Rays,
     o_t = o.reshape(T, tile, 3)
     d_t = d.reshape(T, tile, 3)
 
-    carry = (jnp.full((T, tile), C.BIG, jnp.float32),
-             jnp.full((T, tile), -1, jnp.int32))
+    # pad lanes start at -BIG so they can never block the front-to-back
+    # early exit (they are sliced off below; -BIG also blocks any fold)
+    t_init = jnp.full((T * tile,), C.BIG, jnp.float32).at[R:].set(
+        -C.BIG).reshape(T, tile)
+    carry = (t_init, jnp.full((T, tile), -1, jnp.int32))
     if ct.n_tri_clusters > 0:
         carry = _sweep_type(_tri_kernel, (ct.tri_mo, ct.tri_md), ct.tri_ids,
                             ct.tri_bmin, ct.tri_bmax, o_t, d_t, carry)

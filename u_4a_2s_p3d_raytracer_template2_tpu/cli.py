@@ -118,28 +118,54 @@ def cmd_render(args):
 
 def cmd_fit(args):
     import jax
+    import jax.numpy as jnp
 
     from .utils.profiling import enable_compilation_cache
 
     enable_compilation_cache()
 
     from .models.whitted import render_image
-    from .parallel.dist import default_mesh, train_step
+    from .parallel.dist import (
+        default_mesh,
+        lr_scales,
+        train_step,
+        train_step_full,
+    )
 
     scene = _build_scene(args)
     cfg = _config(args, scene)
     mesh = default_mesh()
     target = render_image(scene, cfg)
 
-    mats = dataclasses.replace(
-        scene.materials,
-        diff_color=np.clip(np.asarray(scene.materials.diff_color) + 0.3, 0, 1),
-    )
-    s = dataclasses.replace(scene, materials=mats)
+    what = args.fit
+    if what == "materials":
+        mats = dataclasses.replace(
+            scene.materials,
+            diff_color=np.clip(
+                np.asarray(scene.materials.diff_color) + 0.3, 0, 1),
+        )
+        s = dataclasses.replace(scene, materials=mats)
+        for i in range(args.steps):
+            s, loss = train_step(s, target, cfg, mesh, args.lr,
+                                 jax.random.PRNGKey(i))
+            print(f"step {i}: loss {float(loss):.6f}")
+        return
+
+    # light-position inverse rendering (FitParams / train_step_full):
+    # displace the first light, recover it by psum'd gradient descent
+    true_pos = np.asarray(scene.lights.position)
+    delta = np.zeros_like(true_pos)
+    delta[0] = [1.0, -0.7, 0.5]
+    lights = dataclasses.replace(scene.lights,
+                                 position=jnp.asarray(true_pos + delta))
+    s = dataclasses.replace(scene, lights=lights)
+    sc = lr_scales(materials=0.0, light_pos=1.0, light_color=0.0,
+                   camera=1.0 if what == "all" else 0.0)
     for i in range(args.steps):
-        s, loss = train_step(s, target, cfg, mesh, args.lr,
-                             jax.random.PRNGKey(i))
-        print(f"step {i}: loss {float(loss):.6f}")
+        s, loss = train_step_full(s, target, cfg, mesh, args.lr,
+                                  jax.random.PRNGKey(i), sc)
+        d = float(np.linalg.norm(np.asarray(s.lights.position) - true_pos))
+        print(f"step {i}: loss {float(loss):.6f}  light offset {d:.3f}")
 
 
 def cmd_pathtrace(args):
@@ -329,6 +355,10 @@ def main(argv=None):
     common(pf)
     pf.add_argument("--steps", type=int, default=10)
     pf.add_argument("--lr", type=float, default=1.0)
+    pf.add_argument("--fit", default="materials",
+                    choices=["materials", "lights", "all"],
+                    help="parameter groups to optimize (lights/all use "
+                    "train_step_full; lr ~100 recommended for lights)")
     pf.set_defaults(fn=cmd_fit)
 
     pp = sub.add_parser("pathtrace",
