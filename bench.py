@@ -40,6 +40,11 @@ CPU_ANCHOR_MRAYS = {
     "balls_high": 0.026,
     "dragon": 0.001,
 }
+# Measured single-core anchor for the GLSL path tracer (tools/baseline_pt.cpp
+# via tools/measure_baseline_pt.py, 128^2 sub-raster x 8 spp, 2026-08-20):
+# 0.88 Mpaths/s. The reference's own PT is a Shadertoy shader with no
+# published numbers.
+PT_ANCHOR_MPATHS = 0.88
 # Fallback used if a scene has no measured anchor recorded yet.
 _DEFAULT_ANCHOR = 1.0
 
@@ -127,6 +132,46 @@ def main():
                          n_hi=n_hi)
         results.append(r)
         print(json.dumps(r), flush=True)
+
+    # --- GLSL path tracer (the reference's GPU showcase) ------------------
+    # scene-baked PT megakernel (models/pt_megakernel.py): the whole
+    # 10-bounce loop in one Pallas kernel, 7.5 ms/frame at 512^2 on v5e vs
+    # 669 ms for the XLA integrator. Parity: tests/test_pt_megakernel.py
+    # (elementwise, shared pre-drawn uniforms) + on-device 6-frame means
+    # 0.5558 vs 0.5560.
+    from u_4a_2s_p3d_raytracer_template2_tpu.models import pathtracer as pt
+    from u_4a_2s_p3d_raytracer_template2_tpu.models.glsl_scene import (
+        glsl_camera,
+        glsl_world,
+    )
+
+    pt_scene = glsl_world()
+    pt_cam = glsl_camera(512, 512)
+    pt_cfg = pt.PTConfig()
+    if jax.default_backend() == "tpu":
+        from u_4a_2s_p3d_raytracer_template2_tpu.models import (
+            pt_megakernel as mk,
+        )
+
+        pt_frame = mk.make_render_frame(pt_scene, pt_cam, pt_cfg)
+    else:
+        fn = jax.jit(pt.render_frame, static_argnums=(2,))
+        pt_frame = lambda k: fn(pt_scene, pt_cam, pt_cfg, k)  # noqa: E731
+
+    def pt_scalar(i):
+        return pt_frame(jax.random.fold_in(jax.random.PRNGKey(7), i)).sum()
+
+    dt = frame_time(pt_scalar, n_lo=2, n_hi=12, reps=3)
+    mpaths = 512 * 512 / dt / 1e6
+    r = {
+        "metric": "Mpaths/s/chip on glsl_world (512^2, 10 bounces)",
+        "value": round(mpaths, 3),
+        "unit": "Mpaths/s",
+        "frame_ms": round(dt * 1e3, 2),
+        "vs_baseline": round(mpaths / PT_ANCHOR_MPATHS, 2),
+    }
+    results.append(r)
+    print(json.dumps(r), flush=True)
 
     # --- primary metric: mount_low --------------------------------------
     res = 512

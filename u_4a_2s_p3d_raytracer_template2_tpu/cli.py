@@ -189,6 +189,17 @@ def cmd_pathtrace(args):
     cam = glsl_camera(res, res, showcase_dof=args.dof)
     cfg = pt.PTConfig(russian_roulette=args.russian_roulette)
 
+    frame_fn = None
+    engine = getattr(args, "pt_engine", "auto")
+    if engine != "xla":
+        from .models import pt_megakernel as mk
+
+        on_tpu = jax.default_backend() == "tpu"
+        if engine == "megakernel" or (on_tpu and mk.supports(scene)):
+            frame_fn = mk.make_render_frame(scene, cam, cfg,
+                                            interpret=not on_tpu)
+            print("engine: scene-baked Pallas megakernel")
+
     t0 = time.perf_counter()
     acc = None
     key = jax.random.PRNGKey(args.seed)
@@ -198,7 +209,8 @@ def cmd_pathtrace(args):
 
         acc = restore(args.resume, pt.make_accumulator(res, res))
         print(f"resumed at {float(acc.count):.0f} spp")
-    acc = pt.render_progressive(scene, cam, cfg, key, args.frames, acc=acc)
+    acc = pt.render_progressive(scene, cam, cfg, key, args.frames, acc=acc,
+                                frame_fn=frame_fn)
     dt = time.perf_counter() - t0
     print(f"{float(acc.count):.0f} spp accumulated in {dt:.1f}s "
           f"({res}x{res})")
@@ -370,6 +382,10 @@ def main(argv=None):
     pp.add_argument("--dof", action="store_true")
     pp.add_argument("--fuzzy-reflection", action="store_true")
     pp.add_argument("--russian-roulette", action="store_true")
+    pp.add_argument("--pt-engine", choices=("auto", "xla", "megakernel"),
+                    default="auto",
+                    help="auto = scene-baked Pallas megakernel on TPU "
+                    "(models/pt_megakernel.py), XLA integrator otherwise")
     pp.add_argument("--checkpoint", help="save accumulation state here")
     pp.add_argument("--resume", help="resume accumulation state from here")
     pp.add_argument("-o", "--output", default="PT_Output.png")

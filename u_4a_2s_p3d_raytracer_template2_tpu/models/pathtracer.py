@@ -28,7 +28,11 @@ import numpy as np
 from ..core import constants as C
 from ..core.types import Camera, Rays, dot, normalize, pytree
 from ..ops.camera import thin_lens_rays
-from ..ops.sampling import sample_unit_disk, sample_unit_sphere, sample_unit_vector
+from ..ops.sampling import (
+    sample_unit_disk,
+    unit_sphere_from_uniforms,
+    unit_vector_from_uniforms,
+)
 
 MT_DIFFUSE = 0
 MT_METAL = 1
@@ -228,9 +232,38 @@ def direct_lighting(scene: PTScene, cfg: PTConfig, rays: Rays, hit: PTHit,
 # scatter (common.glsl:216-324)
 
 
+# Raw U[0,1) draws consumed per bounce, in stream order: 3 for the diffuse
+# unit vector, 3 for the metal fuzz sphere, 1 reflect-probability, 3 for the
+# shared dielectric refl/blend sphere, 1 Russian-roulette. The keyed path
+# (scatter/ray_color) and the pre-sampled path (scatter_presampled/
+# ray_color_presampled — what models/pt_megakernel.py mirrors in-kernel)
+# apply identical transforms to these draws.
+N_UNIFORMS = 11
+
+
+def draw_uniforms(key, n_bounces: int, R: int) -> jnp.ndarray:
+    """[B, N_UNIFORMS, R] raw draws for the pre-sampled integrator."""
+    return jax.random.uniform(key, (n_bounces, N_UNIFORMS, R), jnp.float32)
+
+
+def _raw3(key, R):
+    ka, kb, kc = jax.random.split(key, 3)
+    return (jax.random.uniform(ka, (R,), jnp.float32),
+            jax.random.uniform(kb, (R,), jnp.float32),
+            jax.random.uniform(kc, (R,), jnp.float32))
+
+
 def scatter(key, cfg: PTConfig, rays: Rays, hit: PTHit, mats):
     """Returns (new_rays, atten [R,3], scattered mask)."""
     k1, k2, k3, k4 = jax.random.split(key, 4)
+    R = hit.point.shape[0]
+    u = jnp.stack([*_raw3(k1, R), *_raw3(k2, R),
+                   jax.random.uniform(k3, (R,), jnp.float32), *_raw3(k4, R)])
+    return scatter_presampled(u, cfg, rays, hit, mats)
+
+
+def scatter_presampled(u, cfg: PTConfig, rays: Rays, hit: PTHit, mats):
+    """scatter() from pre-drawn uniforms. u: [>=10, R] (rows 0-9 used)."""
     R = hit.point.shape[0]
     mtype = mats.mtype[hit.mat_id]
     albedo = mats.albedo[hit.mat_id]
@@ -244,14 +277,15 @@ def scatter(key, cfg: PTConfig, rays: Rays, hit: PTHit, mats):
     precise = hit.point + n * _EPS
 
     # DIFFUSE (common.glsl:220-227)
-    s_point = hit.point + n + sample_unit_vector(k1, (R,))
+    s_point = hit.point + n + unit_vector_from_uniforms(u[0], u[1], u[2])
     d_diff = normalize(s_point - hit.point)
     a_diff = albedo * jnp.maximum(dot(d_diff, n), 0.0)[:, None] / jnp.pi
     o_diff = precise
 
     # METAL (common.glsl:229-240): fuzzy mirror, direction NOT renormalized
     mirror = normalize(d - 2.0 * dot(d, n)[:, None] * n)
-    d_metal = mirror + rough[:, None] * sample_unit_sphere(k2, (R,))
+    d_metal = mirror + rough[:, None] * unit_sphere_from_uniforms(
+        u[3], u[4], u[5])
     a_metal = spec
     o_metal = precise
 
@@ -271,15 +305,17 @@ def scatter(key, cfg: PTConfig, rays: Rays, hit: PTHit, mats):
     reflect_prob = jnp.where(
         tir, 1.0, r0 + (1.0 - r0) * (1.0 - cosine) ** 5)
 
-    do_reflect = jax.random.uniform(k3, (R,)) < reflect_prob
-    # reflect branch uses rec.normal, not outwardNormal (common.glsl:296)
-    d_refl = mirror + rough[:, None] * sample_unit_sphere(k4, (R,))
+    do_reflect = u[6] < reflect_prob
+    # reflect branch uses rec.normal, not outwardNormal (common.glsl:296);
+    # the same sphere sample feeds both the fuzz and the rough-blend below
+    sph4 = unit_sphere_from_uniforms(u[7], u[8], u[9])
+    d_refl = mirror + rough[:, None] * sph4
     o_refl = hit.point + outward * _EPS
 
     sqk = jnp.sqrt(jnp.maximum(k_tir, 0.0))
     d_refr = normalize(ni_over_nt[:, None] * d
                        + (ni_over_nt * cosine - sqk)[:, None] * outward)
-    blend = normalize(outward + sample_unit_sphere(k4, (R,)))
+    blend = normalize(outward + sph4)
     rr = (rough * rough)[:, None]
     d_refr = d_refr * (1.0 - rr) + blend * rr  # mix() (common.glsl:307)
     o_refr = hit.point - outward * _EPS
@@ -302,49 +338,81 @@ def scatter(key, cfg: PTConfig, rays: Rays, hit: PTHit, mats):
 # the bounce loop (rayColor, P3D_RT.glsl:236-282)
 
 
+def _bounce(scene: PTScene, cfg: PTConfig, u, state):
+    """One bounce of the integrator from pre-drawn uniforms u [N_UNIFORMS, R].
+    state = (rays, throughput, col, active)."""
+    rays, throughput, col, active = state
+    mats = scene.materials
+    R = rays.origin.shape[0]
+    hit = hit_world(scene, rays)
+
+    # background (P3D_RT.glsl:274-279)
+    tt = 0.8 * (rays.direction[:, 1] + 1.0)
+    sky = ((1.0 - tt)[:, None] * jnp.ones(3)
+           + tt[:, None] * jnp.array([0.5, 0.7, 1.0]))
+    miss = active & ~hit.hit
+    col = col + jnp.where(miss[:, None], throughput * sky, 0.0)
+
+    live = active & hit.hit
+    dl = direct_lighting(scene, cfg, rays, hit, mats)
+    col = col + jnp.where(live[:, None], throughput * dl, 0.0)
+
+    new_rays, atten, scattered = scatter_presampled(u, cfg, rays, hit, mats)
+    throughput = jnp.where(live[:, None], throughput * atten, throughput)
+    rays = Rays(
+        jnp.where(live[:, None], new_rays.origin, rays.origin),
+        jnp.where(live[:, None], new_rays.direction, rays.direction),
+        rays.time,
+    )
+    active = live & scattered
+
+    if cfg.russian_roulette:  # P3D_RT.glsl:265-271
+        p = jnp.max(throughput, axis=-1)
+        kill = active & (u[10] > p)
+        active &= ~kill
+        keep = active
+        throughput = jnp.where(
+            keep[:, None], throughput / jnp.maximum(p, 1e-8)[:, None],
+            throughput)
+    return (rays, throughput, col, active)
+
+
 def ray_color(scene: PTScene, cfg: PTConfig, rays: Rays, key) -> jnp.ndarray:
     R = rays.origin.shape[0]
-    mats = scene.materials
 
     def body(i, state):
         rays, throughput, col, active, key = state
         key, ks, kr = jax.random.split(key, 3)
-        hit = hit_world(scene, rays)
-
-        # background (P3D_RT.glsl:274-279)
-        tt = 0.8 * (rays.direction[:, 1] + 1.0)
-        sky = ((1.0 - tt)[:, None] * jnp.ones(3)
-               + tt[:, None] * jnp.array([0.5, 0.7, 1.0]))
-        miss = active & ~hit.hit
-        col = col + jnp.where(miss[:, None], throughput * sky, 0.0)
-
-        live = active & hit.hit
-        dl = direct_lighting(scene, cfg, rays, hit, mats)
-        col = col + jnp.where(live[:, None], throughput * dl, 0.0)
-
-        new_rays, atten, scattered = scatter(ks, cfg, rays, hit, mats)
-        throughput = jnp.where(live[:, None], throughput * atten, throughput)
-        rays = Rays(
-            jnp.where(live[:, None], new_rays.origin, rays.origin),
-            jnp.where(live[:, None], new_rays.direction, rays.direction),
-            rays.time,
-        )
-        active = live & scattered
-
-        if cfg.russian_roulette:  # P3D_RT.glsl:265-271
-            p = jnp.max(throughput, axis=-1)
-            u = jax.random.uniform(kr, (R,))
-            kill = active & (u > p)
-            active &= ~kill
-            keep = active
-            throughput = jnp.where(
-                keep[:, None], throughput / jnp.maximum(p, 1e-8)[:, None],
-                throughput)
-        return (rays, throughput, col, active, key)
+        k1, k2, k3, k4 = jax.random.split(ks, 4)
+        u = jnp.stack([*_raw3(k1, R), *_raw3(k2, R),
+                       jax.random.uniform(k3, (R,), jnp.float32),
+                       *_raw3(k4, R),
+                       jax.random.uniform(kr, (R,), jnp.float32)])
+        state = _bounce(scene, cfg, u, (rays, throughput, col, active))
+        return state + (key,)
 
     init = (rays, jnp.ones((R, 3), jnp.float32), jnp.zeros((R, 3), jnp.float32),
             jnp.ones((R,), bool), key)
     _, _, col, _, _ = jax.lax.fori_loop(0, cfg.max_bounces, body, init)
+    return col
+
+
+def ray_color_presampled(scene: PTScene, cfg: PTConfig, rays: Rays,
+                         uni) -> jnp.ndarray:
+    """ray_color from pre-drawn uniforms (draw_uniforms). uni: [B, 11, R].
+
+    This is the draw-for-draw XLA twin of the Pallas path-tracer megakernel
+    (models/pt_megakernel.py) — feeding both the same uniforms must produce
+    the same image up to float reassociation (tests/test_pt_megakernel.py).
+    """
+    R = rays.origin.shape[0]
+
+    def body(i, state):
+        return _bounce(scene, cfg, uni[i], state)
+
+    init = (rays, jnp.ones((R, 3), jnp.float32), jnp.zeros((R, 3), jnp.float32),
+            jnp.ones((R,), bool))
+    _, _, col, _ = jax.lax.fori_loop(0, uni.shape[0], body, init)
     return col
 
 
@@ -392,20 +460,26 @@ def to_image(acc: Accumulator) -> jnp.ndarray:
 def render_progressive(scene: PTScene, cam: Camera, cfg: PTConfig, key,
                        n_frames: int,
                        acc: Accumulator | None = None,
-                       start_count: float | None = None) -> Accumulator:
+                       start_count: float | None = None,
+                       frame_fn=None) -> Accumulator:
     """Accumulate up to n_frames 1-spp estimates, respecting the max_samples
     cap (P3D_RT.glsl:357-361). The cap check uses a host-side frame counter
-    (``start_count`` when resuming) — no per-frame device sync."""
+    (``start_count`` when resuming) — no per-frame device sync.
+
+    ``frame_fn``: optional key -> [H,W,3] estimator override (e.g. the baked
+    pt_megakernel.make_render_frame); default is the XLA integrator."""
     if acc is None:
         acc = make_accumulator(cam.res_x, cam.res_y)
         count = 0.0
     else:
         count = float(acc.count) if start_count is None else start_count
-    frame_fn = jax.jit(render_frame, static_argnums=(2,))
+    if frame_fn is None:
+        xla_fn = jax.jit(render_frame, static_argnums=(2,))
+        frame_fn = lambda k: xla_fn(scene, cam, cfg, k)  # noqa: E731
     for i in range(n_frames):
         if count >= cfg.max_samples:
             break
         key, sub = jax.random.split(key)
-        acc = accumulate(acc, frame_fn(scene, cam, cfg, sub))
+        acc = accumulate(acc, frame_fn(sub))
         count += 1.0
     return acc
