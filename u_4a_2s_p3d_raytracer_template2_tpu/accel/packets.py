@@ -1,0 +1,669 @@
+"""Pallas packet-BVH traversal — the hierarchical accelerator for large /
+incoherent workloads.
+
+The tile-coherent cluster sweep (``accel/clusters.py``) culls with one
+*linear* per-1024-ray-tile worklist; on incoherent secondary bounces inside a
+dense mesh the tile union degrades toward brute force (measured: dragon
+depth-4 at ~6 s/frame). This module is the short-stack BVH kernel that
+SURVEY.md §7(a) originally called for, shaped for the TPU:
+
+  * The tree (``accel/sah.py``, binned SAH) has 128-primitive *leaf chunks* —
+    a leaf visit is one dense VPU lane-block test, the exact fold bodies of
+    ``ops/pallas_intersect.py`` (Baldwin–Weber triangles / sphere quadratics,
+    reference semantics scene.cpp:55-88, 149-172).
+  * One kernel program traverses one PACK-ray packet with a *scalar*
+    short-stack walk (node data in SMEM, prim chunks VMEM-resident): ordered
+    near-to-far descent, per-ray ``entry <= t_best`` culling, stack entries
+    pruned against the packet's worst t. Each program has an independent
+    trip count — coherent packets finish in a handful of node visits while
+    incoherent ones walk deeper, with no cross-packet barrier (the
+    ``while_loop`` property no XLA-level vmap formulation has).
+  * Rays are coherence-sorted (octant + origin cell, shared with
+    ``accel/clusters.py``) so packets stay tight.
+
+Any-hit (shadow) variants carry an occlusion mask instead of (t, pos), cull
+children at ``max_t``, and exit as soon as the whole packet is occluded
+(bvh.cpp:348-416 capability).
+
+Traversal is discrete — outputs are wrapped in stop_gradient; shading
+re-intersects the winner differentiably (SURVEY.md §7 custom-VJP split).
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core import constants as C
+from ..core.types import Primitives, Rays, pytree
+from ..ops.pallas_intersect import _NOPOS, _mark_valid, _pad_rays, _ray_lhs
+from .sah import sah_build
+
+LANE = 128
+PACK = 256          # rays per packet (one kernel program)
+MIN_TREE = 192      # below this prim count the dense sweeps win — no tree
+OUT_ROWS = 8        # f32 sublane quantum: Mosaic requires output blocks of
+                    # ≥(8, 128); a PACK<1024 packet's results occupy the
+                    # first PACK//LANE rows, the rest is sliced off host-side
+
+
+@pytree(meta=("has_tri", "has_sph", "tri_nn", "sph_nn"))
+class PacketTables:
+    # triangles: nodes + leaf-chunk tables (Baldwin-Weber functional rows)
+    tri_nbox: jnp.ndarray    # [tri_nn*6] f32 (bmin, bmax per node)
+    tri_nmeta: jnp.ndarray   # [tri_nn*2] i32 (a, is_leaf)
+    tri_chunks: jnp.ndarray  # [NCt, 16, LANE] f32
+    tri_ids: jnp.ndarray     # [NCt*LANE] i32 global object ids, -1 pad
+    # spheres
+    sph_nbox: jnp.ndarray    # [sph_nn*6] f32
+    sph_nmeta: jnp.ndarray   # [sph_nn*2] i32
+    sph_chunks: jnp.ndarray  # [NCs, 8, LANE] f32 (-2c, |c|²-r², 0 pad rows)
+    sph_ids: jnp.ndarray     # [NCs*LANE] i32
+    world_min: jnp.ndarray   # [3] f32 — coherence-key bounds
+    world_max: jnp.ndarray   # [3] f32
+    has_tri: bool = False
+    has_sph: bool = False
+    tri_nn: int = 2          # node count after padding (≥2 for child reads)
+    sph_nn: int = 2
+
+
+# ---------------------------------------------------------------------------
+# build
+
+
+def _tri_chunk_tables(params: np.ndarray, chunk_prims: np.ndarray):
+    """chunk_prims [NC, LANE] global rows → ([NC, 16, LANE] f32, ids)."""
+    from ..ops.mxu_intersect import triangle_functionals
+
+    nc = chunk_prims.shape[0]
+    flat = chunk_prims.reshape(-1)
+    p = np.zeros((flat.size, 12), np.float32)
+    ok = flat >= 0
+    p[ok] = params[flat[ok]]
+    mo, _ = triangle_functionals(p)                      # [3*NC*LANE, 4]
+    mo = mo.reshape(nc, LANE, 3, 4)
+    m = np.zeros((nc, 16, LANE), np.float32)
+    # rows 0-3 N-plane (x,y,z,w), 4-7 U, 8-11 V — the triangle_closest layout
+    m[:, :12] = mo.transpose(0, 2, 3, 1).reshape(nc, 12, LANE)
+    return m, flat.astype(np.int32)
+
+
+def _sph_chunk_tables(params: np.ndarray, chunk_prims: np.ndarray):
+    nc = chunk_prims.shape[0]
+    flat = chunk_prims.reshape(-1)
+    p = np.zeros((flat.size, 4), np.float32)
+    ok = flat >= 0
+    p[ok] = params[flat[ok], :4]
+    c = p[:, 0:3]
+    k = (c * c).sum(-1) - p[:, 3] ** 2       # zero rows: delta ≤ 0, no hit
+    a = np.zeros((nc, 8, LANE), np.float32)
+    a[:, 0:3] = (-2.0 * c).reshape(nc, LANE, 3).transpose(0, 2, 1)
+    a[:, 3] = k.reshape(nc, LANE)
+    return a, flat.astype(np.int32)
+
+
+def _pad_nodes(nbox: np.ndarray, nmeta: np.ndarray):
+    """Flatten node arrays, padding to ≥2 nodes so child reads at a leaf
+    root stay in-bounds (they are masked, never used)."""
+    nn = max(2, nbox.shape[0])
+    nb = np.zeros((nn, 6), np.float32)
+    nm = np.zeros((nn, 2), np.int32)
+    nb[: nbox.shape[0]] = nbox
+    nm[: nmeta.shape[0]] = nmeta
+    return nb.reshape(-1), nm.reshape(-1), nn
+
+
+def build_packets(params: np.ndarray, ptype: np.ndarray):
+    """Host build: per-type SAH treelets + chunk tables. None if no type
+    is large enough to benefit from a tree."""
+    from .bvh import object_bounds
+
+    params = np.asarray(params, np.float32)
+    ptype = np.asarray(ptype)
+    bmin, bmax = object_bounds(params, ptype)
+
+    out = {}
+    wmin = np.full(3, np.inf, np.float32)
+    wmax = np.full(3, -np.inf, np.float32)
+    for name, code in (("tri", C.TRIANGLE), ("sph", C.SPHERE)):
+        ids = np.nonzero(ptype == code)[0].astype(np.int64)
+        if len(ids) < MIN_TREE:
+            out[name] = None
+            continue
+        order, nbox, nmeta, chunk_rows = sah_build(bmin[ids], bmax[ids])
+        del order  # chunk_rows already carries the permutation
+        chunk_prims = np.where(chunk_rows >= 0, ids[np.maximum(chunk_rows, 0)],
+                               -1).astype(np.int64)
+        nb, nm, nn = _pad_nodes(nbox, nmeta)
+        if name == "tri":
+            chunks, cids = _tri_chunk_tables(params, chunk_prims)
+        else:
+            chunks, cids = _sph_chunk_tables(params, chunk_prims)
+        out[name] = (nb, nm, nn, chunks, cids)
+        wmin = np.minimum(wmin, nbox[0, 0:3])
+        wmax = np.maximum(wmax, nbox[0, 3:6])
+
+    if out["tri"] is None and out["sph"] is None:
+        return None
+
+    def unpack(name, rows):
+        v = out[name]
+        if v is None:
+            return (jnp.zeros(12, jnp.float32), jnp.zeros(4, jnp.int32),
+                    jnp.zeros((1, rows, LANE), jnp.float32),
+                    jnp.full(LANE, -1, jnp.int32), False, 2)
+        nb, nm, nn, chunks, cids = v
+        return (jnp.asarray(nb), jnp.asarray(nm), jnp.asarray(chunks),
+                jnp.asarray(cids), True, nn)
+
+    t_nb, t_nm, t_ch, t_id, has_tri, t_nn = unpack("tri", 16)
+    s_nb, s_nm, s_ch, s_id, has_sph, s_nn = unpack("sph", 8)
+    if not np.isfinite(wmin).all():
+        wmin = np.zeros(3, np.float32)
+        wmax = np.ones(3, np.float32)
+    return PacketTables(
+        tri_nbox=t_nb, tri_nmeta=t_nm, tri_chunks=t_ch, tri_ids=t_id,
+        sph_nbox=s_nb, sph_nmeta=s_nm, sph_chunks=s_ch, sph_ids=s_id,
+        world_min=jnp.asarray(wmin.astype(np.float32)),
+        world_max=jnp.asarray(wmax.astype(np.float32)),
+        has_tri=has_tri, has_sph=has_sph, tri_nn=t_nn, sph_nn=s_nn,
+    )
+
+
+# ---------------------------------------------------------------------------
+# kernels
+
+
+def _sinv(c):
+    """ops/intersect._safe_inv semantics, in-kernel."""
+    tiny = jnp.abs(c) < 1e-30
+    sgn = jnp.where(c < 0.0, -1.0, 1.0)
+    return jnp.where(tiny, sgn * 1e30, 1.0 / jnp.where(tiny, 1.0, c))
+
+
+def _tri_fold(m, cols, quad):
+    """One chunk [16, LANE] of Baldwin-Weber triangles vs the packet.
+    Returns the [PACK, LANE] hit-t map (BIG on miss)."""
+    ox, oy, oz, dx, dy, dz = cols
+
+    def plane(r0):
+        mx = m[r0:r0 + 1, :]
+        my = m[r0 + 1:r0 + 2, :]
+        mz = m[r0 + 2:r0 + 3, :]
+        mw = m[r0 + 3:r0 + 4, :]
+        so = ox * mx + oy * my + oz * mz + mw
+        sd = dx * mx + dy * my + dz * mz
+        return so, sd
+
+    so_t, sd_t = plane(0)
+    so_u, sd_u = plane(4)
+    so_v, sd_v = plane(8)
+    ok = jnp.abs(sd_t) > C.EPSILON
+    inv = 1.0 / jnp.where(ok, sd_t, 1.0)
+    t = -so_t * inv
+    u = so_u + t * sd_u
+    v = so_v + t * sd_v
+    ok &= (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
+    ok &= t > C.EPSILON
+    return jnp.where(ok, t, C.BIG)
+
+
+def _sph_fold(a, cols, quad):
+    """One chunk [8, LANE] of spheres (reference smaller-positive-root)."""
+    ox, oy, oz, dx, dy, dz = cols
+    oo, do2, a4, minv2a = quad
+    cx = a[0:1, :]
+    cy = a[1:2, :]
+    cz = a[2:3, :]
+    kk = a[3:4, :]
+    oc2 = ox * cx + oy * cy + oz * cz
+    dc2 = dx * cx + dy * cy + dz * cz
+    b = do2 + dc2
+    cc = (oo + kk) + oc2
+    delta = b * b - a4 * cc
+    hit = delta > 0.0
+    sq = jnp.sqrt(jnp.where(hit, delta, 1.0))
+    s = jnp.where(b + sq > 0.0, -sq, sq)
+    t = (b + s) * minv2a
+    ok = hit & (t >= 0.0)
+    return jnp.where(ok, t, C.BIG)
+
+
+_FOLDS = {"tri": _tri_fold, "sph": _sph_fold}
+
+
+def _store_best(t_slot, pos_slot, t_ref, pos_ref, pack):
+    """Cross-lane reduce + lowest-position tie-break, stored into the
+    OUT_ROWS-padded output block (rows past pack//LANE are filler)."""
+    t_best = jnp.min(t_slot, axis=-1)
+    pos_best = jnp.min(
+        jnp.where(t_slot == t_best[:, None], pos_slot, _NOPOS), axis=-1)
+    pos_best = jnp.where(t_best >= C.BIG, -1.0, pos_best)
+    used = pack // LANE
+    rows = t_ref.shape[0]
+    t_out = t_best.reshape(used, LANE)
+    p_out = pos_best.reshape(used, LANE)
+    if rows > used:
+        t_out = jnp.concatenate(
+            [t_out, jnp.full((rows - used, LANE), C.BIG, jnp.float32)])
+        p_out = jnp.concatenate(
+            [p_out, jnp.full((rows - used, LANE), -1.0, jnp.float32)])
+    t_ref[:] = t_out
+    pos_ref[:] = p_out
+
+
+def _make_closest_kernel(kind: str, pack: int):
+    fold = _FOLDS[kind]
+
+    def kernel(nbox_ref, nmeta_ref, chunks_ref, om_ref, dm_ref,
+               t_ref, pos_ref, stackn_ref, stackt_ref, ts_ref, ps_ref):
+        om = om_ref[:]
+        dm = dm_ref[:]
+        cols = (om[:, 0:1], om[:, 1:2], om[:, 2:3],
+                dm[:, 0:1], dm[:, 1:2], dm[:, 2:3])
+        quad = (om[:, 3:4], om[:, 4:5], om[:, 5:6], om[:, 6:7])
+        valid = om[:, 7:8]
+        ivx, ivy, ivz = _sinv(cols[3]), _sinv(cols[4]), _sinv(cols[5])
+        iota = jax.lax.broadcasted_iota(
+            jnp.int32, (pack, LANE), 1).astype(jnp.float32)
+
+        # pad rays start at -BIG so they never gate pruning (sliced off)
+        ts_ref[:] = jnp.broadcast_to(
+            jnp.where(valid > 0.5, C.BIG, -C.BIG), (pack, LANE))
+        ps_ref[:] = jnp.full((pack, LANE), -1.0, jnp.float32)
+
+        def slab(ni):
+            base = 6 * ni
+            lox = (nbox_ref[base] - cols[0]) * ivx
+            hix = (nbox_ref[base + 3] - cols[0]) * ivx
+            loy = (nbox_ref[base + 1] - cols[1]) * ivy
+            hiy = (nbox_ref[base + 4] - cols[1]) * ivy
+            loz = (nbox_ref[base + 2] - cols[2]) * ivz
+            hiz = (nbox_ref[base + 5] - cols[2]) * ivz
+            tn = jnp.maximum(jnp.maximum(jnp.minimum(lox, hix),
+                                         jnp.minimum(loy, hiy)),
+                             jnp.minimum(loz, hiz))
+            tf = jnp.minimum(jnp.minimum(jnp.maximum(lox, hix),
+                                         jnp.maximum(loy, hiy)),
+                             jnp.maximum(loz, hiz))
+            return (tn <= tf) & (tf > 0.0), tn
+
+        nn = nbox_ref.shape[0] // 6
+
+        # Single-level walk loop: one node visit OR one stack pop per
+        # iteration (cur == -1 ⇒ pop-only pass). A nested pop while_loop
+        # compiles but HANGS on real hardware (observed wedging the chip
+        # for minutes — see tools/probe_pallas_features.py history), so
+        # stale stack entries cost one cheap masked iteration instead.
+        def body(state):
+            cur, sp = state
+            active = cur >= 0
+            node = jnp.clip(cur, 0, nn - 1)
+            a = nmeta_ref[2 * node]
+            is_leaf = nmeta_ref[2 * node + 1]
+
+            @pl.when(active & (is_leaf == 1))
+            def _():
+                t = fold(chunks_ref[a], cols, quad)
+                ppos = iota + a.astype(jnp.float32) * float(LANE)
+                better = t < ts_ref[:]
+                ps_ref[:] = jnp.where(better, ppos, ps_ref[:])
+                ts_ref[:] = jnp.where(better, t, ts_ref[:])
+
+            tbest = jnp.min(ts_ref[:], axis=-1, keepdims=True)  # [pack, 1]
+            t_far = jnp.max(tbest)                              # scalar
+
+            li = jnp.clip(a, 0, nn - 2)
+            ri = li + 1
+            hitl, tnl = slab(li)
+            hitr, tnr = slab(ri)
+            usel = hitl & (tnl <= tbest)
+            user = hitr & (tnr <= tbest)
+            internal = active & (is_leaf == 0)
+            anyl = (jnp.max(jnp.where(usel, 1.0, 0.0)) > 0.0) & internal
+            anyr = (jnp.max(jnp.where(user, 1.0, 0.0)) > 0.0) & internal
+            entl = jnp.min(jnp.where(usel, tnl, C.BIG))
+            entr = jnp.min(jnp.where(user, tnr, C.BIG))
+
+            both = anyl & anyr
+            goleft = entl <= entr
+            near = jnp.where(goleft, li, ri)
+            far = jnp.where(goleft, ri, li)
+            fart = jnp.where(goleft, entr, entl)
+
+            @pl.when(both)
+            def _():
+                stackn_ref[sp] = far
+                stackt_ref[sp] = fart
+
+            sp = jnp.where(both, sp + 1, sp)
+            nxt = jnp.where(
+                anyl | anyr,
+                jnp.where(both, near, jnp.where(anyl, li, ri)),
+                jnp.int32(-1))
+
+            # one pop attempt; a stale entry leaves cur at -1 for the next
+            # (pop-only) iteration
+            do_pop = (nxt < 0) & (sp > 0)
+            spm = jnp.maximum(sp - 1, 0)
+            fresh = stackt_ref[spm] < t_far
+            nxt = jnp.where(do_pop & fresh, stackn_ref[spm], nxt)
+            sp = jnp.where(do_pop, spm, sp)
+            return nxt, sp
+
+        jax.lax.while_loop(lambda s: (s[0] >= 0) | (s[1] > 0), body,
+                           (jnp.int32(0), jnp.int32(0)))
+        _store_best(ts_ref[:], ps_ref[:], t_ref, pos_ref, pack)
+
+    return kernel
+
+
+def _make_any_kernel(kind: str, pack: int, max_t: float):
+    fold = _FOLDS[kind]
+
+    def kernel(nbox_ref, nmeta_ref, chunks_ref, om_ref, dm_ref,
+               occ_ref, stackn_ref, oc_ref):
+        om = om_ref[:]
+        dm = dm_ref[:]
+        cols = (om[:, 0:1], om[:, 1:2], om[:, 2:3],
+                dm[:, 0:1], dm[:, 1:2], dm[:, 2:3])
+        quad = (om[:, 3:4], om[:, 4:5], om[:, 5:6], om[:, 6:7])
+        valid = om[:, 7:8]
+        ivx, ivy, ivz = _sinv(cols[3]), _sinv(cols[4]), _sinv(cols[5])
+
+        # pad rays start occluded so they never block the early exit
+        oc_ref[:] = jnp.broadcast_to(1.0 - valid, (pack, LANE))
+
+        def slab(ni):
+            base = 6 * ni
+            lox = (nbox_ref[base] - cols[0]) * ivx
+            hix = (nbox_ref[base + 3] - cols[0]) * ivx
+            loy = (nbox_ref[base + 1] - cols[1]) * ivy
+            hiy = (nbox_ref[base + 4] - cols[1]) * ivy
+            loz = (nbox_ref[base + 2] - cols[2]) * ivz
+            hiz = (nbox_ref[base + 5] - cols[2]) * ivz
+            tn = jnp.maximum(jnp.maximum(jnp.minimum(lox, hix),
+                                         jnp.minimum(loy, hiy)),
+                             jnp.minimum(loz, hiz))
+            tf = jnp.minimum(jnp.minimum(jnp.maximum(lox, hix),
+                                         jnp.maximum(loy, hiy)),
+                             jnp.maximum(loz, hiz))
+            return (tn <= tf) & (tf > 0.0) & (tn < max_t), tn
+
+        nn = nbox_ref.shape[0] // 6
+
+        # single-level loop (see the closest-hit kernel's no-nested-while
+        # note); pops are single masked iterations
+        def body(state):
+            cur, sp = state
+            active = cur >= 0
+            node = jnp.clip(cur, 0, nn - 1)
+            a = nmeta_ref[2 * node]
+            is_leaf = nmeta_ref[2 * node + 1]
+
+            @pl.when(active & (is_leaf == 1))
+            def _():
+                t = fold(chunks_ref[a], cols, quad)
+                oc_ref[:] = jnp.maximum(
+                    oc_ref[:], jnp.where(t < max_t, 1.0, 0.0))
+
+            no_occ = jnp.max(oc_ref[:], axis=-1, keepdims=True) < 0.5
+            all_occ = jnp.max(jnp.where(no_occ, 1.0, 0.0)) == 0.0
+
+            li = jnp.clip(a, 0, nn - 2)
+            ri = li + 1
+            hitl, _ = slab(li)
+            hitr, _ = slab(ri)
+            internal = active & (is_leaf == 0)
+            anyl = (jnp.max(jnp.where(hitl & no_occ, 1.0, 0.0)) > 0.0) \
+                & internal
+            anyr = (jnp.max(jnp.where(hitr & no_occ, 1.0, 0.0)) > 0.0) \
+                & internal
+            both = anyl & anyr
+
+            @pl.when(both)
+            def _():
+                stackn_ref[sp] = ri
+
+            sp = jnp.where(both, sp + 1, sp)
+            nxt = jnp.where(
+                anyl | anyr,
+                jnp.where(anyl, li, ri),
+                jnp.int32(-1))
+            sp = jnp.where(all_occ, 0, sp)
+            nxt = jnp.where(all_occ, jnp.int32(-1), nxt)
+
+            do_pop = (nxt < 0) & (sp > 0)
+            spm = jnp.maximum(sp - 1, 0)
+            nxt = jnp.where(do_pop, stackn_ref[spm], nxt)
+            sp = jnp.where(do_pop, spm, sp)
+            return nxt, sp
+
+        jax.lax.while_loop(lambda s: (s[0] >= 0) | (s[1] > 0), body,
+                           (jnp.int32(0), jnp.int32(0)))
+        used = pack // LANE
+        rows = occ_ref.shape[0]
+        out = jnp.max(oc_ref[:], axis=-1).reshape(used, LANE)
+        if rows > used:
+            out = jnp.concatenate(
+                [out, jnp.zeros((rows - used, LANE), jnp.float32)])
+        occ_ref[:] = out
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# pallas_call wrappers
+
+
+def _ray_blocks(pack):
+    return pl.BlockSpec((pack, 8), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+
+def _out_rows(pack):
+    return max(OUT_ROWS, pack // LANE)
+
+
+def _walk_closest(kind, nbox, nmeta, chunks, om, dm, pack, interpret):
+    R = om.shape[0]
+    nc = chunks.shape[0]
+    stack = max(64, nc + 8)
+    n_packs = R // pack
+    orows = _out_rows(pack)
+    t, pos = pl.pallas_call(
+        _make_closest_kernel(kind, pack),
+        grid=(n_packs,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            _ray_blocks(pack), _ray_blocks(pack),
+        ],
+        out_specs=(
+            pl.BlockSpec((orows, LANE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((orows, LANE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_packs * orows, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((n_packs * orows, LANE), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.SMEM((stack,), jnp.int32),
+            pltpu.SMEM((stack,), jnp.float32),
+            pltpu.VMEM((pack, LANE), jnp.float32),
+            pltpu.VMEM((pack, LANE), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(nbox, nmeta, chunks, om, dm)
+    used = pack // LANE
+    t = t.reshape(n_packs, orows, LANE)[:, :used].reshape(-1)
+    pos = pos.reshape(n_packs, orows, LANE)[:, :used].reshape(-1)
+    return t, pos
+
+
+def _walk_any(kind, nbox, nmeta, chunks, om, dm, pack, max_t, interpret):
+    R = om.shape[0]
+    nc = chunks.shape[0]
+    stack = max(64, nc + 8)
+    n_packs = R // pack
+    orows = _out_rows(pack)
+    occ = pl.pallas_call(
+        _make_any_kernel(kind, pack, float(max_t)),
+        grid=(n_packs,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            _ray_blocks(pack), _ray_blocks(pack),
+        ],
+        out_specs=pl.BlockSpec((orows, LANE), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_packs * orows, LANE), jnp.float32),
+        scratch_shapes=[
+            pltpu.SMEM((stack,), jnp.int32),
+            pltpu.VMEM((pack, LANE), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(nbox, nmeta, chunks, om, dm)
+    used = pack // LANE
+    return occ.reshape(n_packs, orows, LANE)[:, :used].reshape(-1)
+
+
+def _gather_ids(ids, pos):
+    pos = pos.astype(jnp.int32)
+    safe = jnp.maximum(pos, 0)
+    return jnp.where(pos >= 0, ids[safe], -1)
+
+
+def _sorted_padded(pt: PacketTables, rays: Rays, pack: int,
+                   coherence_sort: bool):
+    from .clusters import _coherence_key
+
+    o, d = rays.origin, rays.direction
+    R = o.shape[0]
+    perm = None
+    if coherence_sort and R > pack:
+        key = _coherence_key(o, d, pt.world_min, pt.world_max)
+        perm = jnp.argsort(key)
+        o = o[perm]
+        d = d[perm]
+    opad = (-R) % pack
+    if opad:
+        o = jnp.concatenate([o, jnp.zeros((opad, 3), o.dtype)])
+        d = jnp.concatenate(
+            [d, jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], d.dtype),
+                                 (opad, 3))])
+    om, dm = _ray_lhs(o, d)
+    om = _mark_valid(om, R)
+    return om, dm, R, perm
+
+
+@functools.partial(jax.jit, static_argnames=("pack", "coherence_sort",
+                                             "interpret"))
+def packet_closest_hit(pt: PacketTables, prims: Primitives, rays: Rays,
+                       pack: int = PACK, coherence_sort: bool = True,
+                       interpret: bool = False):
+    """Closest hit via packet-BVH walks + dense sweeps for treeless types.
+
+    Returns (t [R], obj_id [R]); -1 id on miss. Discrete outputs — wrapped
+    in stop_gradient (shading re-intersects the winner differentiably).
+    """
+    pt = jax.lax.stop_gradient(pt)
+    rays = jax.lax.stop_gradient(rays)
+    om, dm, R, perm = _sorted_padded(pt, rays, pack, coherence_sort)
+
+    t_best = jnp.full((om.shape[0],), C.BIG, jnp.float32)
+    id_best = jnp.full((om.shape[0],), -1, jnp.int32)
+    if pt.has_tri:
+        t, pos = _walk_closest("tri", pt.tri_nbox, pt.tri_nmeta,
+                               pt.tri_chunks, om, dm, pack, interpret)
+        pid = _gather_ids(pt.tri_ids, pos)
+        better = t < t_best
+        t_best = jnp.where(better, t, t_best)
+        id_best = jnp.where(better, pid, id_best)
+    if pt.has_sph:
+        t, pos = _walk_closest("sph", pt.sph_nbox, pt.sph_nmeta,
+                               pt.sph_chunks, om, dm, pack, interpret)
+        pid = _gather_ids(pt.sph_ids, pos)
+        better = t < t_best
+        t_best = jnp.where(better, t, t_best)
+        id_best = jnp.where(better, pid, id_best)
+
+    t_best = t_best[:R]
+    id_best = id_best[:R]
+    if perm is not None:
+        inv = jnp.argsort(perm)
+        t_best = t_best[inv]
+        id_best = id_best[inv]
+
+    # treeless types: dense folds on the caller's ray order
+    from ..ops.intersect import (_box_t, _plane_t, _sphere_t, _triangle_t,
+                                 _typed_min)
+
+    carry = (t_best, id_best)
+    if not pt.has_tri and prims.n_tri > 0:
+        carry = _typed_min(_triangle_t, prims.tri_p, prims.tri_ids,
+                           rays.origin, rays.direction, 2048, carry)
+    if not pt.has_sph and prims.n_sph > 0:
+        carry = _typed_min(_sphere_t, prims.sph_p, prims.sph_ids,
+                           rays.origin, rays.direction, 2048, carry)
+    if prims.n_pl > 0:
+        carry = _typed_min(_plane_t, prims.pl_p, prims.pl_ids,
+                           rays.origin, rays.direction, 2048, carry)
+    if prims.n_box > 0:
+        carry = _typed_min(_box_t, prims.box_p, prims.box_ids,
+                           rays.origin, rays.direction, 2048, carry)
+    t_best, id_best = carry
+    return t_best, jnp.where(t_best >= C.BIG, -1, id_best)
+
+
+@functools.partial(jax.jit, static_argnames=("max_t", "pack",
+                                             "coherence_sort", "interpret"))
+def packet_any_hit(pt: PacketTables, prims: Primitives, rays: Rays,
+                   max_t: float, pack: int = PACK,
+                   coherence_sort: bool = True, interpret: bool = False):
+    """Early-exit occlusion via packet-BVH walks. [R] bool."""
+    pt = jax.lax.stop_gradient(pt)
+    rays = jax.lax.stop_gradient(rays)
+    om, dm, R, perm = _sorted_padded(pt, rays, pack, coherence_sort)
+
+    occ = jnp.zeros((om.shape[0],), jnp.float32)
+    if pt.has_tri:
+        occ = jnp.maximum(occ, _walk_any("tri", pt.tri_nbox, pt.tri_nmeta,
+                                         pt.tri_chunks, om, dm, pack, max_t,
+                                         interpret))
+    if pt.has_sph:
+        occ = jnp.maximum(occ, _walk_any("sph", pt.sph_nbox, pt.sph_nmeta,
+                                         pt.sph_chunks, om, dm, pack, max_t,
+                                         interpret))
+    occ = occ[:R] > 0.5
+    if perm is not None:
+        occ = occ[jnp.argsort(perm)]
+
+    from ..ops.intersect import (_box_t, _plane_t, _sphere_t, _triangle_t,
+                                 _typed_any)
+
+    if not pt.has_tri and prims.n_tri > 0:
+        occ = _typed_any(_triangle_t, prims.tri_p, prims.tri_ids,
+                         rays.origin, rays.direction, 2048, occ, max_t)
+    if not pt.has_sph and prims.n_sph > 0:
+        occ = _typed_any(_sphere_t, prims.sph_p, prims.sph_ids,
+                         rays.origin, rays.direction, 2048, occ, max_t)
+    if prims.n_pl > 0:
+        occ = _typed_any(_plane_t, prims.pl_p, prims.pl_ids,
+                         rays.origin, rays.direction, 2048, occ, max_t)
+    if prims.n_box > 0:
+        occ = _typed_any(_box_t, prims.box_p, prims.box_ids,
+                         rays.origin, rays.direction, 2048, occ, max_t)
+    return occ

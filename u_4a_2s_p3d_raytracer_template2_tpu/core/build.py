@@ -121,10 +121,11 @@ def build_scene(
 
     accel_type = sd.accel_type if accel is None else accel
 
-    bvh = grid = clusters = None
+    bvh = grid = clusters = packets = None
     if accel_type == C.ACCEL_BVH and n_obj > 0:
         from ..accel.bvh import build_bvh, last_host_order
         from ..accel.clusters import build_clusters
+        from ..accel.packets import build_packets
 
         bvh = build_bvh(params[:n_obj], ptype[:n_obj])
         # tile-coherent clusters along the BVH-sorted order: the TPU-native
@@ -132,6 +133,10 @@ def build_scene(
         # builder's host-side stash — never read back from the device.
         clusters = build_clusters(params[:n_obj], ptype[:n_obj],
                                   last_host_order())
+        # SAH treelet tables for the packet-BVH Pallas kernel — the
+        # production TPU path for large scenes (accel/packets.py); None
+        # when no type is big enough to benefit.
+        packets = build_packets(params[:n_obj], ptype[:n_obj])
     elif accel_type == C.ACCEL_GRID and n_obj > 0:
         from ..accel.grid import build_grid
 
@@ -168,6 +173,7 @@ def build_scene(
         bvh=bvh,
         grid=grid,
         clusters=clusters,
+        packets=packets,
         accel_type=int(accel_type),
         spp=int(sd.spp),
         has_skybox=has_skybox,

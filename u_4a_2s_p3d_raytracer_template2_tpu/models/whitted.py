@@ -42,17 +42,42 @@ _EPS = C.EPSILON
 # closest-hit dispatch
 
 
-def trace_closest(scene: Scene, rays: Rays):
+def _bvh_impl(scene: Scene, cfg: RenderConfig = None) -> str:
+    """Resolve the BVH-mode traversal implementation (RenderConfig.accel_impl).
+
+    "auto" picks the packet-BVH Pallas kernel on TPU backends when the scene
+    carries packet tables (the measured winner on large scenes — see
+    docs/ARCHITECTURE.md), and the XLA cluster sweeps everywhere else
+    (CPU tests, virtual meshes, scenes too small for a tree)."""
+    impl = getattr(cfg, "accel_impl", "auto") if cfg is not None else "auto"
+    if impl == "auto":
+        if scene.packets is not None and jax.default_backend() == "tpu":
+            return "packets"
+        return "clusters"
+    return impl
+
+
+def trace_closest(scene: Scene, rays: Rays, cfg: RenderConfig = None):
     """Closest hit via the scene's accelerator; returns (t, obj_id).
 
     Traversal indices are discrete (gradients stop there); shading re-derives
     t differentiably from the gathered winner primitive (see whitted level
     step below), mirroring the custom-VJP split of SURVEY.md §7.
     """
-    if scene.accel_type == C.ACCEL_BVH and scene.clusters is not None:
-        from ..accel.clusters import clustered_closest_hit
+    if scene.accel_type == C.ACCEL_BVH:
+        impl = _bvh_impl(scene, cfg)
+        if impl == "packets" and scene.packets is not None:
+            from ..accel.packets import packet_closest_hit
 
-        return clustered_closest_hit(scene.clusters, scene.prims, rays)
+            return packet_closest_hit(scene.packets, scene.prims, rays)
+        if impl == "perray" and scene.bvh is not None:
+            from ..accel.traverse import bvh_closest_hit
+
+            return bvh_closest_hit(scene.bvh, scene.prims, rays)
+        if impl != "brute" and scene.clusters is not None:
+            from ..accel.clusters import clustered_closest_hit
+
+            return clustered_closest_hit(scene.clusters, scene.prims, rays)
     if scene.accel_type == C.ACCEL_GRID and scene.grid is not None:
         from ..accel.traverse import grid_closest_hit
 
@@ -64,10 +89,22 @@ def trace_shadow(scene: Scene, rays: Rays, max_t, cfg: RenderConfig = None):
     """Any-hit occlusion via the scene's accelerator — every path is a
     dedicated early-exit shadow traversal (bvh.cpp:348-416 /
     grid.cpp:313-361 capability), never a closest-hit."""
-    if scene.accel_type == C.ACCEL_BVH and scene.clusters is not None:
-        from ..accel.clusters import clustered_any_hit
+    if scene.accel_type == C.ACCEL_BVH:
+        impl = _bvh_impl(scene, cfg)
+        if impl == "packets" and scene.packets is not None:
+            from ..accel.packets import packet_any_hit
 
-        return clustered_any_hit(scene.clusters, scene.prims, rays, max_t)
+            return packet_any_hit(scene.packets, scene.prims, rays,
+                                  float(max_t))
+        if impl == "perray" and scene.bvh is not None:
+            from ..accel.traverse import bvh_any_hit
+
+            return bvh_any_hit(scene.bvh, scene.prims, rays, max_t)
+        if impl != "brute" and scene.clusters is not None:
+            from ..accel.clusters import clustered_any_hit
+
+            return clustered_any_hit(scene.clusters, scene.prims, rays,
+                                     max_t)
     if scene.accel_type == C.ACCEL_GRID and scene.grid is not None:
         from ..accel.traverse import grid_any_hit
 
@@ -142,7 +179,7 @@ def _level_step(scene: Scene, rays: Rays, active, ior_in, cfg: RenderConfig,
     Returns (local_color, miss_color_mask, KR, spec_color, child rays/masks).
     """
     R = rays.origin.shape[0]
-    t_disc, obj_id = trace_closest(scene, rays)
+    t_disc, obj_id = trace_closest(scene, rays, cfg)
     obj_id = jax.lax.stop_gradient(obj_id)
     hit = active & (obj_id >= 0)
 
