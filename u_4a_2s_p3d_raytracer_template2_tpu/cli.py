@@ -307,13 +307,15 @@ def cmd_view(args):
         print(f"orbit frame {i}: alpha={alpha:7.2f}  {dt * 1e3:7.1f} ms  "
               f"{1.0 / dt:6.2f} FPS  {rays_per_frame / dt / 1e6:7.2f} Mrays/s")
 
-    # camera still: progressive accumulation (jittered AA samples)
-    acc = img
+    # camera still: progressive accumulation (jittered AA samples). The
+    # orbit frames render withOUT AA, so they are NOT blended in — every
+    # accumulated sample comes from the same acc_cfg distribution.
     alpha = args.sweep
     acc_cfg = dc.replace(cfg, anti_aliasing=True,
                          spp=max(cfg.spp, 1)) if args.still_frames else cfg
     cam = with_eye(cam0, orbit_eye(cam0, alpha, args.beta, r))
     still = dc.replace(scene, camera=cam)
+    acc = jnp.zeros_like(img)
     for i in range(args.still_frames):
         t0 = time.perf_counter()
         img = render_image(still, acc_cfg, jax.random.PRNGKey(1 + i),
@@ -321,11 +323,149 @@ def cmd_view(args):
         acc = acc + img
         jax.block_until_ready(acc.sum())
         dt = time.perf_counter() - t0
-        print(f"still frame {i}: {i + 2} samples  {dt * 1e3:7.1f} ms  "
+        print(f"still frame {i}: {i + 1} samples  {dt * 1e3:7.1f} ms  "
               f"{1.0 / dt:6.2f} FPS")
-    acc = acc / (args.still_frames + 1)
+    acc = acc / args.still_frames if args.still_frames else img
 
     out = np.asarray(to_u8_device(acc))
+    save_png(args.output, out)
+    print(f"Image file created: {args.output}")
+
+
+def _read_keys():
+    """Yield single keypresses from stdin.
+
+    On a tty, switch to cbreak so each keystroke arrives immediately (the
+    GLUT-callback equivalent); on a pipe, every character of every line is a
+    keypress — so the loop is drivable by scripts and the verify skill
+    (`printf 'ad+q' | ... view --interactive`). Newlines are skipped.
+    """
+    if sys.stdin.isatty():
+        import termios
+        import tty
+
+        fd = sys.stdin.fileno()
+        old = termios.tcgetattr(fd)
+        try:
+            tty.setcbreak(fd)
+            while True:
+                ch = sys.stdin.read(1)
+                if not ch:
+                    return
+                yield ch
+        finally:
+            termios.tcsetattr(fd, termios.TCSADRAIN, old)
+    else:
+        while True:
+            ch = sys.stdin.read(1)
+            if not ch:
+                return
+            if ch not in "\r\n":
+                yield ch
+
+
+def cmd_live(args):
+    """Terminal-interactive viewer — the stdin twin of the reference's GLUT
+    input loop: processKeys (main.cpp:327-349), the alpha/beta mouse orbit
+    with the ±85° pitch clamp (main.cpp:395-421), and the 0.1-step wheel
+    zoom with the 0.1 radius floor (main.cpp:425-431). Every keypress
+    re-renders and prints the title-bar FPS/Mrays readout (main.cpp:280-289).
+
+    Keys: a/d yaw ∓5°, w/s pitch ±5°, +/- zoom in/out, SPACE accumulate one
+    jittered sample (camera moves reset the accumulator, the GLSL
+    iFrame-reset pattern, P3D_RT.glsl:345-365), r reset camera, c print
+    camera coordinates, q or ESC quit (writes the PNG).
+    """
+    import dataclasses as dc
+    import math
+
+    import jax
+    import jax.numpy as jnp
+
+    from .utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from .io.image import save_png, to_u8_device
+    from .models.whitted import render_image
+    from .ops.camera import orbit_eye, with_eye
+
+    scene = _build_scene(args)
+    cfg = _config(args, scene)
+    cam0 = scene.camera
+    rays_per_frame = cam0.res_x * cam0.res_y * (1 + scene.n_lights)
+    acc_cfg = dc.replace(cfg, anti_aliasing=True, spp=max(cfg.spp, 1))
+
+    def spherical_of_eye():
+        # the reference's 'r' reset handler math (main.cpp:334-341)
+        ex, ey, ez = [float(v) for v in np.asarray(cam0.eye)]
+        rr = math.sqrt(ex * ex + ey * ey + ez * ez)
+        return (math.degrees(math.atan2(ex, ez)),
+                math.degrees(math.asin(ey / rr)), rr)
+
+    alpha, beta, r = spherical_of_eye()
+    acc = None
+    n_acc = 0
+
+    def cur_scene():
+        cam = with_eye(cam0, orbit_eye(cam0, alpha, beta, r))
+        return dc.replace(scene, camera=cam)
+
+    def render(use_cfg, key):
+        t0 = time.perf_counter()
+        img = render_image(cur_scene(), use_cfg, key,
+                           tile_rows=args.tile_rows)
+        jax.block_until_ready(img.sum())
+        dt = time.perf_counter() - t0
+        print(f"alpha={alpha:7.2f} beta={beta:6.2f} r={r:6.2f}  "
+              f"{dt * 1e3:7.1f} ms  {1.0 / dt:6.2f} FPS  "
+              f"{rays_per_frame / dt / 1e6:7.2f} Mrays/s", flush=True)
+        return img
+
+    print(f"live: {cam0.res_x}x{cam0.res_y}, {scene.n_objects} objects — "
+          "keys: a/d yaw, w/s pitch, +/- zoom, SPACE accumulate, r reset, "
+          "c coords, q quit", flush=True)
+    img = render(cfg, jax.random.PRNGKey(0))
+
+    for ch in _read_keys():
+        if ch in ("q", "\x1b"):          # ESC, main.cpp:331
+            break
+        if ch == "c":                     # main.cpp:343-347
+            ex, ey, ez = [float(v) for v in
+                          np.asarray(cur_scene().camera.eye)]
+            print(f"Camera Spherical Coordinates ({r:f}, {beta:f}, "
+                  f"{alpha:f})")
+            print(f"Camera Cartesian Coordinates ({ex:f}, {ey:f}, {ez:f})",
+                  flush=True)
+            continue
+        if ch == " ":
+            n_acc += 1
+            img = render(acc_cfg, jax.random.PRNGKey(n_acc))
+            acc = img if acc is None else acc + img
+            print(f"  accumulated {n_acc} samples", flush=True)
+            continue
+        if ch == "r":
+            alpha, beta, r = spherical_of_eye()
+        elif ch == "a":
+            alpha -= 5.0
+        elif ch == "d":
+            alpha += 5.0
+        elif ch == "w":
+            beta = min(beta + 5.0, 85.0)   # pitch clamp, main.cpp:402-405
+        elif ch == "s":
+            beta = max(beta - 5.0, -85.0)
+        elif ch == "+":
+            r = max(r - 0.1, 0.1)          # radius floor, main.cpp:426-427
+        elif ch == "-":
+            r += 0.1
+        else:
+            continue
+        acc = None
+        n_acc = 0
+        img = render(cfg, jax.random.PRNGKey(0))
+
+    out = acc / n_acc if acc is not None else img
+    out = np.asarray(to_u8_device(out))
     save_png(args.output, out)
     print(f"Image file created: {args.output}")
 
@@ -404,6 +544,14 @@ def main(argv=None):
     pv.add_argument("--beta", type=float, default=20.0)
     pv.add_argument("-o", "--output", default="View_Output.png")
     pv.set_defaults(fn=cmd_view)
+
+    pl = sub.add_parser(
+        "live", help="terminal-interactive viewer: stdin key loop "
+        "(a/d/w/s orbit, +/- zoom, SPACE accumulate, r reset, c coords, "
+        "q quit)")
+    common(pl)
+    pl.add_argument("-o", "--output", default="Live_Output.png")
+    pl.set_defaults(fn=cmd_live)
 
     po = sub.add_parser("orbit", help="camera-orbit turntable frames")
     common(po)
