@@ -27,10 +27,20 @@ Design choices, all TPU-first:
     Static material-population pruning (has_reflective/has_transmissive)
     prunes absent subtrees exactly like the XLA engines.
 
-Scope (v1, deterministic configs — the benchmark semantics): no soft
-shadows, no fuzzy reflection, no skybox-on-miss, no AA coupling inside the
-kernel (AA jitter happens outside in ray generation). render_image falls
-back to the wavefront engine when a config needs the stochastic features.
+Scope: every RenderConfig except skybox-on-miss (cubemap gathers don't
+bake), at scene sizes up to BAKE_MAX_PRIMS. Stochastic features follow the
+pt_megakernel pattern — sample VALUES are drawn OUTSIDE the kernel with the
+exact ``jax.random`` split chain of the sweep engine (_draw_stream mirrors
+trace_rays/_level_step/direct_lighting draw for draw, exploiting
+``jax.random.split`` prefix stability) and stream in as [NU, R] rows, so
+megakernel images stay ELEMENTWISE equal to the sweep under every config:
+  * soft shadows without AA: the deterministic 4×4 light grid
+    (main.cpp:601-618) runs as an in-kernel fori_loop per light;
+  * soft shadows with AA: the jittered light offsets (main.cpp:621-624) are
+    computed outside (they need the subpixel indices) and streamed;
+  * fuzzy reflection: the unit-sphere perturbations (main.cpp:651-660)
+    are streamed; the hemisphere accept test runs in-kernel;
+  * fresnel/refraction parity modes bake as compile-time constants.
 
 Semantics per node match ops/intersect.py's component forms (EPSILON
 cutoffs, strict-< first-wins closest hit, shadow max_t=1 on unnormalized L,
@@ -57,8 +67,9 @@ _EPS = C.EPSILON
 SUB = 64          # sublane rows per program: SUB*128 = 8192 rays/program
 LANE = 128
 
-# primitive-count ceiling for baking (compile time grows with prims x nodes)
-BAKE_MAX_PRIMS = 64
+# primitive-count ceiling for baking (compile time grows with prims x nodes;
+# the PT kernel unrolls 105+ spheres at BAKE_MAX_SPHERES=256 — same budget)
+BAKE_MAX_PRIMS = 256
 
 
 def _rsqrt_safe(x):
@@ -248,45 +259,127 @@ def _quad_inv(o, d, need_inv):
     return quad, inv
 
 
-def _direct_light(consts, o, d, hp, precise, n, mat, hit, need_inv,
-                  shadow_unbounded):
-    """processLight over baked lights (main.cpp:471-526)."""
+def _stream_layout(consts, cfg):
+    """Static row assignment for the streamed sample values.
+
+    Returns (n_rows, rowmap) with rowmap keys:
+      ("shadow", lvl, path, li) -> (row_jx, row_jy)   soft shadows + AA
+      ("fuzzy", lvl, path)      -> (r0, r1, r2)       fuzzy reflection
+    The (lvl, path) node coordinates follow the sweep's interleave layout
+    (slot = ray*W + path, refl child bit 0 / refr bit 1 when both spawn).
+    """
+    rowmap = {}
+    n = 0
+    soft_jit = cfg.soft_shadow and cfg.anti_aliasing
+    fuzzy = cfg.fuzzy_reflection and consts.has_refl
+    if not (soft_jit or fuzzy):
+        return 0, rowmap
+    has_sec = consts.has_refl or consts.has_refr
+    branch = 2 if (consts.has_refl and consts.has_refr) else 1
+    n_levels = cfg.max_depth if has_sec else 1
+    w = 1
+    for lvl in range(n_levels):
+        spawn = has_sec and lvl < n_levels - 1
+        for path in range(w):
+            if soft_jit:
+                for li in range(len(consts.lights)):
+                    rowmap[("shadow", lvl, path, li)] = (n, n + 1)
+                    n += 2
+            if spawn and fuzzy:
+                rowmap[("fuzzy", lvl, path)] = (n, n + 1, n + 2)
+                n += 3
+        if spawn:
+            w *= branch
+    return n, rowmap
+
+
+def _direct_light(consts, cfg, o, d, hp, precise, n, mat, hit, need_inv,
+                  stream, node):
+    """processLight over baked lights (main.cpp:471-526), plus the two
+    soft-shadow variants (main.cpp:593-630)."""
     zero = jnp.zeros_like(o[0])
     col = [zero, zero, zero]
     # V = -d normalized
     vx, vy, vz = -d[0], -d[1], -d[2]
     iv = _rsqrt_safe(vx * vx + vy * vy + vz * vz)
     vx, vy, vz = vx * iv, vy * iv, vz * iv
-    for lpos, lcol in consts.lights:
-        Lx = lpos[0] - hp[0]
-        Ly = lpos[1] - hp[1]
-        Lz = lpos[2] - hp[2]
-        facing = (Lx * n[0] + Ly * n[1] + Lz * n[2]) > 0.0
-        squad, sinv = _quad_inv(precise, (Lx, Ly, Lz), need_inv)
-        max_t = C.BIG if shadow_unbounded else 1.0
-        occ = _occluded(consts, precise, (Lx, Ly, Lz), squad, sinv, max_t)
-        lit = hit & facing & ~occ
-        il = _rsqrt_safe(Lx * Lx + Ly * Ly + Lz * Lz)
-        lx, ly, lz = Lx * il, Ly * il, Lz * il
-        hx, hy, hz = lx + vx, ly + vy, lz + vz
-        ih = _rsqrt_safe(hx * hx + hy * hy + hz * hz)
-        hx, hy, hz = hx * ih, hy * ih, hz * ih
-        ndl = jnp.maximum(0.0, lx * n[0] + ly * n[1] + lz * n[2])
-        vdn = jnp.maximum(0.0, hx * n[0] + hy * n[1] + hz * n[2])
-        vdn_safe = jnp.where(vdn > 0.0, vdn, 1.0)
-        spec_pow = jnp.where(vdn > 0.0, vdn_safe ** mat["shine"],
-                             jnp.where(mat["shine"] == 0.0, 1.0, 0.0))
-        for ax in range(3):
-            contrib = (lcol[ax] * mat["diff"][ax] * ndl * mat["kd"]
-                       + lcol[ax] * mat["spec"][ax] * spec_pow
-                       * (mat["ks"] * 0.4))
-            col[ax] = col[ax] + jnp.where(lit, contrib, 0.0)
+    max_t = C.BIG if cfg.shadow_unbounded else 1.0
+
+    soft_grid = cfg.soft_shadow and not cfg.anti_aliasing
+    soft_jit = cfg.soft_shadow and cfg.anti_aliasing
+
+    for li, (lpos, lcol) in enumerate(consts.lights):
+
+        def one_sample(px_, py_, pz_, scale):
+            """Blinn-Phong from light position (px_,py_,pz_); scalar or
+            per-lane offsets both broadcast. Returns 3 masked components."""
+            Lx = px_ - hp[0]
+            Ly = py_ - hp[1]
+            Lz = pz_ - hp[2]
+            facing = (Lx * n[0] + Ly * n[1] + Lz * n[2]) > 0.0
+            squad, sinv = _quad_inv(precise, (Lx, Ly, Lz), need_inv)
+            occ = _occluded(consts, precise, (Lx, Ly, Lz), squad, sinv,
+                            max_t)
+            lit = hit & facing & ~occ
+            il = _rsqrt_safe(Lx * Lx + Ly * Ly + Lz * Lz)
+            lx, ly, lz = Lx * il, Ly * il, Lz * il
+            hx, hy, hz = lx + vx, ly + vy, lz + vz
+            ih = _rsqrt_safe(hx * hx + hy * hy + hz * hz)
+            hx, hy, hz = hx * ih, hy * ih, hz * ih
+            ndl = jnp.maximum(0.0, lx * n[0] + ly * n[1] + lz * n[2])
+            vdn = jnp.maximum(0.0, hx * n[0] + hy * n[1] + hz * n[2])
+            vdn_safe = jnp.where(vdn > 0.0, vdn, 1.0)
+            spec_pow = jnp.where(vdn > 0.0, vdn_safe ** mat["shine"],
+                                 jnp.where(mat["shine"] == 0.0, 1.0, 0.0))
+            out = []
+            for ax in range(3):
+                contrib = (lcol[ax] * scale * mat["diff"][ax] * ndl
+                           * mat["kd"]
+                           + lcol[ax] * scale * mat["spec"][ax] * spec_pow
+                           * (mat["ks"] * 0.4))
+                out.append(jnp.where(lit, contrib, 0.0))
+            return out
+
+        if soft_grid:
+            # deterministic 4x4 light grid, each sample 1/16 of the color
+            # (main.cpp:601-618); a fori_loop keeps the unrolled code size
+            # independent of the 16 samples
+            distance = 0.5 / 4.0
+            start = -distance * 0.5 * 4.0
+
+            def body(k, carry, lpos=lpos, one_sample=one_sample):
+                jj = (k % 4).astype(jnp.float32)
+                ii = (k // 4).astype(jnp.float32)
+                s = one_sample(lpos[0] + (start + jj * distance),
+                               lpos[1] + (start + ii * distance),
+                               lpos[2], 1.0 / 16.0)
+                return (carry[0] + s[0], carry[1] + s[1], carry[2] + s[2])
+
+            acc = jax.lax.fori_loop(0, 16, body, (zero, zero, zero))
+            for ax in range(3):
+                col[ax] = col[ax] + acc[ax]
+        elif soft_jit:
+            # jittered single sample; the offsets (which need the subpixel
+            # indices and the sweep's RNG stream) are computed outside and
+            # streamed per (node, light) (main.cpp:621-624)
+            u_row, rowmap = stream
+            rjx, rjy = rowmap[("shadow", node[0], node[1], li)]
+            jx = u_row(rjx)
+            jy = u_row(rjy)
+            s = one_sample(lpos[0] + jx, lpos[1] + jy, lpos[2], 1.0)
+            for ax in range(3):
+                col[ax] = col[ax] + s[ax]
+        else:
+            s = one_sample(lpos[0], lpos[1], lpos[2], 1.0)
+            for ax in range(3):
+                col[ax] = col[ax] + s[ax]
     return col
 
 
-def _node(consts, cfg, o, d, ior_in, depth, need_inv):
+def _node(consts, cfg, o, d, ior_in, depth, need_inv, stream, path):
     """One Whitted node, recursing statically into its children.
     Returns [3] color block components (already bg-on-miss)."""
+    lvl = depth - 1
     quad, inv = _quad_inv(o, d, need_inv)
     t, hit, n, mat = _closest(consts, o, d, quad, inv)
     # reference normalizes the winner normal (main.cpp:587); folded normals
@@ -297,8 +390,8 @@ def _node(consts, cfg, o, d, ior_in, depth, need_inv):
     hp = tuple(o[ax] + d[ax] * t for ax in range(3))
     precise = tuple(hp[ax] + n[ax] * _EPS for ax in range(3))
 
-    local = _direct_light(consts, o, d, hp, precise, n, mat, hit, need_inv,
-                          cfg.shadow_unbounded)
+    local = _direct_light(consts, cfg, o, d, hp, precise, n, mat, hit,
+                          need_inv, stream, (lvl, path))
 
     leaf = depth >= cfg.max_depth
     spawn_refl = (not leaf) and consts.has_refl
@@ -311,6 +404,8 @@ def _node(consts, cfg, o, d, ior_in, depth, need_inv):
             out.append(jnp.where(hit, c, consts.bg[ax]))
         return out
 
+    branch = 2 if (consts.has_refl and consts.has_refr) else 1
+
     # flipped normal for secondary math (main.cpp:639-643)
     ddn = d[0] * n[0] + d[1] * n[1] + d[2] * n[2]
     inside = ddn > 0.0
@@ -320,7 +415,9 @@ def _node(consts, cfg, o, d, ior_in, depth, need_inv):
 
     color = [jnp.where(hit, local[ax], consts.bg[ax]) for ax in range(3)]
 
-    # Fresnel KR (main.cpp:699-717), Schlick mode, and refraction setup
+    # Fresnel KR (main.cpp:699-717) and refraction setup; the parity-mode
+    # switches (RenderConfig.fresnel_mode / refraction_mode) bake as
+    # compile-time constants
     if spawn_refr:
         ndv = -dnf  # dot(nf, V) with V = -d (d unit)
         vnx = nf[0] * ndv - (-d[0])
@@ -336,16 +433,32 @@ def _node(consts, cfg, o, d, ior_in, depth, need_inv):
         can = insq > 0.0
         it = _rsqrt_safe(jnp.maximum(vt2, 1e-24))
         new_ior = jnp.where(inside, 1.0, mior)
-        rdx = vnx * it * sin_t + nf[0]
-        rdy = vny * it * sin_t + nf[1]
-        rdz = vnz * it * sin_t + nf[2]
+        if cfg.refraction_mode == "physical":
+            # Snell's transmitted direction t̂·sinθt − n̂·cosθt, normalized
+            # (ops/shade.refract mode "physical")
+            cos_t = jnp.where(can, jnp.sqrt(jnp.where(can, insq, 1.0)), 0.0)
+            rdx = vnx * it * sin_t - nf[0] * cos_t
+            rdy = vny * it * sin_t - nf[1] * cos_t
+            rdz = vnz * it * sin_t - nf[2] * cos_t
+            irn = _rsqrt_safe(
+                jnp.maximum(rdx * rdx + rdy * rdy + rdz * rdz, 1e-24))
+            rdx, rdy, rdz = rdx * irn, rdy * irn, rdz * irn
+        else:  # "reference": the shipped t̂·sinθt + n̂ (main.cpp:683-688)
+            rdx = vnx * it * sin_t + nf[0]
+            rdy = vny * it * sin_t + nf[1]
+            rdz = vnz * it * sin_t + nf[2]
         refr_active = hit & (mat["transmit"] != 0.0) & can
         rdx = jnp.where(refr_active, rdx, 0.0)
         rdy = jnp.where(refr_active, rdy, 0.0)
         rdz = jnp.where(refr_active, rdz, 1.0)
-        r0 = ((ior_in - new_ior) / (ior_in + new_ior)) ** 2
-        schlick = r0 + (1.0 - r0) * (1.0 - cos_i) ** 5
-        kr_t = jnp.where(can, schlick, 1.0)
+        if cfg.fresnel_mode == "reference_exact":
+            # the dead int-division branch: KR = 0 always (main.cpp:711)
+            kr_t = jnp.zeros_like(cos_i)
+        else:
+            r0 = ((ior_in - new_ior) / (ior_in + new_ior)) ** 2
+            schlick = r0 + (1.0 - r0) * (1.0 - cos_i) ** 5
+            tir = 1.0 if cfg.fresnel_mode == "schlick" else 0.0
+            kr_t = jnp.where(can, schlick, tir)
         kr = jnp.where(mat["transmit"] != 0.0, kr_t, mat["ks"])
     else:
         kr = mat["ks"]
@@ -356,9 +469,23 @@ def _node(consts, cfg, o, d, ior_in, depth, need_inv):
         ry = d[1] - 2.0 * nf[1] * dnf
         rz = d[2] - 2.0 * nf[2] * dnf
         irr = _rsqrt_safe(rx * rx + ry * ry + rz * rz)
-        refl_col = _node(consts, cfg, precise,
-                         (rx * irr, ry * irr, rz * irr),
-                         ior_in, depth + 1, need_inv)
+        rx, ry, rz = rx * irr, ry * irr, rz * irr
+        if cfg.fuzzy_reflection:
+            # streamed unit-sphere perturbation; hemisphere accept test
+            # in-kernel (ops/shade.fuzzy_reflect_dir, main.cpp:651-660)
+            u_row, rowmap = stream
+            s0r, s1r, s2r = rowmap[("fuzzy", lvl, path)]
+            fx = rx + cfg.roughness * u_row(s0r)
+            fy = ry + cfg.roughness * u_row(s1r)
+            fz = rz + cfg.roughness * u_row(s2r)
+            ifn = _rsqrt_safe(fx * fx + fy * fy + fz * fz)
+            fx, fy, fz = fx * ifn, fy * ifn, fz * ifn
+            keep = (fx * nf[0] + fy * nf[1] + fz * nf[2]) > 0.0
+            rx = jnp.where(keep, fx, rx)
+            ry = jnp.where(keep, fy, ry)
+            rz = jnp.where(keep, fz, rz)
+        refl_col = _node(consts, cfg, precise, (rx, ry, rz),
+                         ior_in, depth + 1, need_inv, stream, path * branch)
         w = hit & (mat["ks"] > 0.0)
         for ax in range(3):
             color[ax] = color[ax] + jnp.where(
@@ -367,7 +494,8 @@ def _node(consts, cfg, o, d, ior_in, depth, need_inv):
     if spawn_refr:
         ro = tuple(hp[ax] + (rdx, rdy, rdz)[ax] * 0.001 for ax in range(3))
         refr_col = _node(consts, cfg, ro, (rdx, rdy, rdz),
-                         new_ior, depth + 1, need_inv)
+                         new_ior, depth + 1, need_inv, stream,
+                         path * branch + (1 if branch == 2 else 0))
         for ax in range(3):
             color[ax] = color[ax] + jnp.where(
                 refr_active, refr_col[ax] * (1.0 - kr), 0.0)
@@ -377,38 +505,55 @@ def _node(consts, cfg, o, d, ior_in, depth, need_inv):
 
 def _build_kernel(consts: _SceneConsts, cfg):
     need_inv = any(ob["ptype"] == C.AABOX for ob in consts.objs)
+    n_rows, rowmap = _stream_layout(consts, cfg)
 
-    def kernel(ox, oy, oz, dx, dy, dz, r_out, g_out, b_out):
-        o = (ox[:], oy[:], oz[:])
-        d = (dx[:], dy[:], dz[:])
-        col = _node(consts, cfg, o, d, jnp.ones_like(o[0]), 1, need_inv)
-        r_out[:] = jnp.clip(col[0], 0.0, 1.0)
-        g_out[:] = jnp.clip(col[1], 0.0, 1.0)
-        b_out[:] = jnp.clip(col[2], 0.0, 1.0)
+    if n_rows == 0:
+        def kernel(ox, oy, oz, dx, dy, dz, r_out, g_out, b_out):
+            o = (ox[:], oy[:], oz[:])
+            d = (dx[:], dy[:], dz[:])
+            col = _node(consts, cfg, o, d, jnp.ones_like(o[0]), 1, need_inv,
+                        None, 0)
+            r_out[:] = jnp.clip(col[0], 0.0, 1.0)
+            g_out[:] = jnp.clip(col[1], 0.0, 1.0)
+            b_out[:] = jnp.clip(col[2], 0.0, 1.0)
+    else:
+        def kernel(ox, oy, oz, dx, dy, dz, uni, r_out, g_out, b_out):
+            o = (ox[:], oy[:], oz[:])
+            d = (dx[:], dy[:], dz[:])
 
-    return kernel
+            def u_row(r):
+                return uni[r]
+
+            col = _node(consts, cfg, o, d, jnp.ones_like(o[0]), 1, need_inv,
+                        (u_row, rowmap), 0)
+            r_out[:] = jnp.clip(col[0], 0.0, 1.0)
+            g_out[:] = jnp.clip(col[1], 0.0, 1.0)
+            b_out[:] = jnp.clip(col[2], 0.0, 1.0)
+
+    return kernel, n_rows
 
 
 def supports(scene, cfg) -> bool:
-    """Configs/scenes the baked megakernel can serve (see module doc)."""
+    """Configs/scenes the baked megakernel can serve (see module doc):
+    everything except skybox-on-miss, up to BAKE_MAX_PRIMS primitives."""
     return (scene.n_objects <= BAKE_MAX_PRIMS
-            and not cfg.soft_shadow
-            and not cfg.fuzzy_reflection
-            and not (cfg.use_skybox and scene.has_skybox)
-            and cfg.fresnel_mode == "schlick"
-            and cfg.refraction_mode == "reference")
+            and not (cfg.use_skybox and scene.has_skybox))
 
 
 @functools.lru_cache(maxsize=8)
 def _trace_fn_cached(consts_key, cfg, interpret):
     consts, = consts_key  # unwrap the singleton holder
 
-    kernel = _build_kernel(consts, cfg)
+    kernel, n_rows = _build_kernel(consts, cfg)
     spec = pl.BlockSpec((SUB, LANE), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
+    uspec = pl.BlockSpec((max(n_rows, 1), SUB, LANE), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM)
 
     @jax.jit
-    def trace(o, d):
+    def trace(o, d, uni=None):
+        """o, d: [R,3]; uni: [n_rows, R] streamed sample values (only when
+        the (scene, cfg) has stochastic features — see _stream_layout)."""
         R = o.shape[0]
         pad = (-R) % (SUB * LANE)
         if pad:
@@ -416,13 +561,17 @@ def _trace_fn_cached(consts_key, cfg, interpret):
             d = jnp.concatenate(
                 [d, jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], d.dtype),
                                      (pad, 3))])
+            if n_rows:
+                uni = jnp.concatenate(
+                    [uni, jnp.zeros((n_rows, pad), uni.dtype)], axis=-1)
         rows = o.shape[0] // LANE
         cols = [a.reshape(rows, LANE) for a in
                 (o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2])]
+        extra = [uni.reshape(n_rows, rows, LANE)] if n_rows else []
         outs = pl.pallas_call(
             kernel,
             grid=(rows // SUB,),
-            in_specs=[spec] * 6,
+            in_specs=[spec] * 6 + ([uspec] if n_rows else []),
             out_specs=(spec, spec, spec),
             out_shape=tuple(
                 jax.ShapeDtypeStruct((rows, LANE), jnp.float32)
@@ -430,11 +579,70 @@ def _trace_fn_cached(consts_key, cfg, interpret):
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
-        )(*cols)
+        )(*cols, *extra)
         color = jnp.stack([a.reshape(-1) for a in outs], -1)
         return color[:R]
 
     return trace
+
+
+def _draw_stream(consts, cfg, R, ktrace, shadow_offsets):
+    """[n_rows, R] streamed sample values, mirroring trace_rays' exact
+    ``jax.random`` split chain (models/whitted.py) so megakernel images are
+    ELEMENTWISE equal to the sweep's under stochastic configs.
+
+    Chain per level (trace_rays → _level_step → direct_lighting):
+      key, sub = split(key)            # trace_rays loop
+      lkey, klight = split(sub)        # _level_step
+      per light (soft+AA): klight, s2 = split(klight); r2 = uniform(s2)
+      (spawn & fuzzy): lkey, kf = split(lkey); s = sample_unit_sphere(kf)
+    Level-l draws have shape [R·W_l]; slot = ray·W_l + path (the sweep's
+    interleave layout), so column `path` of the [R, W_l] reshape is the
+    node's row.
+    """
+    from ..ops.sampling import sample_unit_sphere
+
+    n_rows, rowmap = _stream_layout(consts, cfg)
+    if n_rows == 0:
+        return None
+    vals = [None] * n_rows
+    soft_jit = cfg.soft_shadow and cfg.anti_aliasing
+    fuzzy = cfg.fuzzy_reflection and consts.has_refl
+    spp = max(cfg.spp, 1)
+    ox, oy = shadow_offsets if shadow_offsets is not None else (0.0, 0.0)
+    has_sec = consts.has_refl or consts.has_refr
+    branch = 2 if (consts.has_refl and consts.has_refr) else 1
+    n_levels = cfg.max_depth if has_sec else 1
+
+    key = ktrace
+    w = 1
+    for lvl in range(n_levels):
+        key, sub = jax.random.split(key)
+        lkey, klight = jax.random.split(sub)
+        spawn = has_sec and lvl < n_levels - 1
+        if soft_jit:
+            kk = klight
+            for li in range(len(consts.lights)):
+                kk, s2 = jax.random.split(kk)
+                r2 = jax.random.uniform(s2, (R * w, 2), jnp.float32)
+                jx = (0.5 * ((ox + r2[:, 0]) / spp)).reshape(R, w)
+                jy = (0.5 * ((oy + r2[:, 1]) / spp)).reshape(R, w)
+                for path in range(w):
+                    rjx, rjy = rowmap[("shadow", lvl, path, li)]
+                    vals[rjx] = jx[:, path]
+                    vals[rjy] = jy[:, path]
+        if spawn and cfg.fuzzy_reflection:
+            lkey, kf = jax.random.split(lkey)
+            if fuzzy:
+                s = sample_unit_sphere(kf, (R * w,)).reshape(R, w, 3)
+                for path in range(w):
+                    r0, r1, r2_ = rowmap[("fuzzy", lvl, path)]
+                    vals[r0] = s[:, path, 0]
+                    vals[r1] = s[:, path, 1]
+                    vals[r2_] = s[:, path, 2]
+        if spawn:
+            w *= branch
+    return jnp.stack(vals)
 
 
 class _ConstsKey:
@@ -493,17 +701,29 @@ def make_render_tile(scene, cfg, interpret: bool = False):
 
     from ..ops.camera import primary_rays
 
-    trace = trace_rays_megakernel(scene, cfg, interpret)
+    consts = _SceneConsts(scene)
+    trace = _trace_fn_cached(_ConstsKey(consts, _consts_token(consts)), cfg,
+                             interpret)
+    n_rows, _ = _stream_layout(consts, cfg)
     camera = scene.camera
+
+    def _trace(rays, ktrace, offsets):
+        if n_rows:
+            uni = _draw_stream(consts, cfg, rays.origin.shape[0], ktrace,
+                               offsets)
+            return trace(rays.origin, rays.direction, uni)
+        return trace(rays.origin, rays.direction)
 
     @jax.jit
     def tile(px, py, key):
         if not cfg.anti_aliasing:
-            key, kcam = jax.random.split(key)
+            # same 3-way split as the sweep's render_tile so kcam/ktrace
+            # (DoF lens draws, stream chain) are IDENTICAL to the sweep's
+            key, kcam, ktrace = jax.random.split(key, 3)
             rays = primary_rays(camera, px + 0.5, py + 0.5, kcam,
                                 depth_of_field=cfg.depth_of_field,
                                 motion_blur=cfg.motion_blur)
-            return trace(rays.origin, rays.direction)
+            return _trace(rays, ktrace, None)
 
         spp = max(cfg.spp, 1)
         R = px.shape[0]
@@ -514,13 +734,15 @@ def make_render_tile(scene, cfg, interpret: bool = False):
 
         def body(acc, inp):
             (i, j), k = inp
-            kj, kcam = jax.random.split(k)
+            kj, kcam, ktrace = jax.random.split(k, 3)
             r2 = jax.random.uniform(kj, (R, 2), jnp.float32)
             rays = primary_rays(camera, px + (i + r2[:, 0]) / spp,
                                 py + (j + r2[:, 1]) / spp, kcam,
                                 depth_of_field=cfg.depth_of_field,
                                 motion_blur=cfg.motion_blur)
-            return acc + trace(rays.origin, rays.direction), None
+            # (i, j) are the reference's global subpixel indices feeding
+            # the jittered soft-shadow offsets (main.cpp:779-780)
+            return acc + _trace(rays, ktrace, (i, j)), None
 
         acc, _ = jax.lax.scan(body, jnp.zeros((R, 3), jnp.float32),
                               (ij, keys))
