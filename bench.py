@@ -30,15 +30,15 @@ import sys
 import numpy as np
 
 # Measured single-core CPU anchors, Mrays/s in the primary+shadow convention
-# (pixels x (1 + n_lights) / wall-clock), from tools/measure_baseline.py on
-# 2026-08-19 (g++ -O3 -march=native, one core; raw JSON + method in
-# BASELINE.md). dragon/balls_high anchors are brute-force, as the reference
-# ships them (accel 0 in the scene files; its BVH mode re-scans brute
-# anyway, SURVEY.md quirk #1).
+# (pixels x (1 + n_lights) / wall-clock), from tools/measure_baseline.py,
+# re-anchored 2026-08-20 on a quiet machine with >=3 repetitions (medians;
+# raw runs + method in BASELINE.md). dragon/balls_high anchors are
+# brute-force, as the reference ships them (accel 0 in the scene files; its
+# BVH mode re-scans brute anyway, SURVEY.md quirk #1).
 CPU_ANCHOR_MRAYS = {
-    "mount_low": 5.72,
-    "balls_high": 0.026,
-    "dragon": 0.001,
+    "mount_low": 9.14,
+    "balls_high": 0.040,
+    "dragon": 0.0015,
 }
 # Measured single-core anchor for the GLSL path tracer (tools/baseline_pt.cpp
 # via tools/measure_baseline_pt.py, 128^2 sub-raster x 8 spp, 2026-08-20):

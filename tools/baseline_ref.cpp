@@ -304,9 +304,11 @@ int main(int argc, char **argv) {
   double secs = std::chrono::duration<double>(t1 - t0).count();
   // primary + top-level-shadow convention (BASELINE.md): pixels*(1+nlights)
   double conv_rays = (double)res_x * res_y * (1 + (int)lights.size()) * frames;
+  // %.5g keeps >=3 significant digits even for sub-0.01 Mrays/s scenes
+  // (a %.3f print collapsed the dragon anchor to one digit)
   std::printf(
-      "{\"frames\":%d,\"seconds\":%.3f,\"mrays_per_s\":%.3f,"
-      "\"all_rays_mrays_per_s\":%.3f,\"checksum\":%.1f}\n",
+      "{\"frames\":%d,\"seconds\":%.3f,\"mrays_per_s\":%.5g,"
+      "\"all_rays_mrays_per_s\":%.5g,\"checksum\":%.1f}\n",
       frames, secs, conv_rays / secs / 1e6, ray_count / secs / 1e6, sum);
   return 0;
 }
