@@ -37,6 +37,7 @@ import numpy as np
 # BVH mode re-scans brute anyway, SURVEY.md quirk #1).
 CPU_ANCHOR_MRAYS = {
     "mount_low": 9.14,
+    "balls_medium": 3.66,
     "balls_high": 0.040,
     "dragon": 0.0015,
 }
@@ -118,15 +119,19 @@ def main():
     # --- secondary scenes first (headline line must be LAST) -------------
     # dragon frames run seconds (65k incoherent deep rays over 100k tris):
     # a short loop keeps the bench bounded while still cancelling dispatch
-    for name, label, accel, n_hi in (
-            ("balls_high.p3f", "balls_high", None, 10),
-            ("dragon.p3f", "dragon", 2, 4)):
+    # dragon rides the packet-BVH Pallas kernel (accel_impl auto on TPU,
+    # accel/packets.py — 173 ms/frame vs 6.28 s on cluster sweeps);
+    # balls_medium (91 spheres) fits the raised megakernel bake ceiling
+    for name, label, accel, engine, n_hi in (
+            ("balls_medium.p3f", "balls_medium", None, "megakernel", 30),
+            ("balls_high.p3f", "balls_high", None, "wavefront", 10),
+            ("dragon.p3f", "dragon", 2, "wavefront", 4)):
         path = os.path.join(SCENE_DIR, name)
         if not os.path.exists(path):
             continue
         sd = rt.parse_p3f(path)
         scene = rt.build_scene(sd, accel=accel)
-        cfg = rt.RenderConfig(engine="wavefront").with_scene_flags(scene)
+        cfg = rt.RenderConfig(engine=engine).with_scene_flags(scene)
         r = _bench_scene(rt, scene, cfg, label, scene.camera.res_x,
                          scene.camera.res_y, scene.n_lights, frame_time,
                          n_hi=n_hi)

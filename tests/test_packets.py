@@ -142,6 +142,35 @@ def test_packet_deep_tree_triangles_only():
     assert (np.asarray(oid) == np.asarray(id_ref)).mean() > 0.995
 
 
+def test_accel_impl_dispatch_parity():
+    """RenderConfig.accel_impl routes trace_closest/trace_shadow to each
+    traversal implementation; all agree on a BVH scene (CPU: clusters,
+    perray, brute — the packets path is TPU-only and covered above in
+    interpret mode)."""
+    from u_4a_2s_p3d_raytracer_template2_tpu.models.whitted import (
+        trace_closest,
+        trace_shadow,
+    )
+
+    scene = soup(n_sph=40, n_tri=40)  # below MIN_TREE: no packet tables
+    assert scene.packets is None
+    rays = make_rays(128, seed=31)
+    outs = {}
+    for impl in ("clusters", "perray", "brute"):
+        cfg = rt.RenderConfig(accel_impl=impl)
+        t, oid = trace_closest(scene, rays, cfg)
+        occ = trace_shadow(scene, rays, 1e30, cfg)
+        outs[impl] = (np.asarray(t), np.asarray(oid), np.asarray(occ))
+    t0, id0, occ0 = outs["brute"]
+    for impl in ("clusters", "perray"):
+        t, oid, occ = outs[impl]
+        np.testing.assert_allclose(np.minimum(t, 1e30),
+                                   np.minimum(t0, 1e30),
+                                   rtol=1e-4, atol=1e-4)
+        assert (oid == id0).mean() > 0.99
+        assert (occ == occ0).mean() > 0.99
+
+
 @pytest.mark.parametrize("max_t", [1.0, 1e30])
 def test_packet_any_hit_matches_brute(max_t):
     scene = soup(seed=21)

@@ -60,6 +60,7 @@ SCENE_DIR = "/root/reference/P3D_RayTracer_Template2/P3D_Scenes"
 # per-ray cost is resolution-independent for a brute-force loop.
 CASES = [
     ("mount_low.p3f", None, 3),
+    ("balls_medium.p3f", None, 3),
     ("balls_high.p3f", 64, 6),
     # 96² x3: the 48²x1 anchor carried ~±20% run-to-run error — one digit
     # of precision on the bench's vs_baseline (VERDICT r2 weak #5)
