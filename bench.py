@@ -119,12 +119,14 @@ def main():
     # --- secondary scenes first (headline line must be LAST) -------------
     # dragon frames run seconds (65k incoherent deep rays over 100k tris):
     # a short loop keeps the bench bounded while still cancelling dispatch
-    # dragon rides the packet-BVH Pallas kernel (accel_impl auto on TPU,
-    # accel/packets.py — 173 ms/frame vs 6.28 s on cluster sweeps);
-    # balls_medium (91 spheres) fits the raised megakernel bake ceiling
+    # dragon and balls_high ride the packet-BVH Pallas kernel (accel_impl
+    # auto on TPU, accel/packets.py): dragon 173 ms/frame vs 6.28 s on
+    # cluster sweeps; balls_high frames 2.2x faster than the Pallas brute
+    # path (104 vs 234 ms at 256², tools/bench_packets.py). balls_medium
+    # (91 spheres) fits the raised megakernel bake ceiling.
     for name, label, accel, engine, n_hi in (
             ("balls_medium.p3f", "balls_medium", None, "megakernel", 30),
-            ("balls_high.p3f", "balls_high", None, "wavefront", 10),
+            ("balls_high.p3f", "balls_high", 2, "wavefront", 10),
             ("dragon.p3f", "dragon", 2, "wavefront", 4)):
         path = os.path.join(SCENE_DIR, name)
         if not os.path.exists(path):

@@ -149,9 +149,12 @@ def run_dragon(full=True):
         parity_check("dragon.parity64", scene, cfg_p, cfg_c)
 
 
-def run_balls(full=True):
+def run_balls(full=True, res=256):
     from u_4a_2s_p3d_raytracer_template2_tpu.accel.packets import (
         packet_closest_hit,
+    )
+    from u_4a_2s_p3d_raytracer_template2_tpu.ops.intersect import (
+        closest_hit_brute,
     )
 
     sd = rt.parse_p3f(f"{SCENES}/balls_high.p3f")
@@ -161,17 +164,18 @@ def run_balls(full=True):
                       "sph_chunks": int(pt.sph_chunks.shape[0]),
                       "sph_nodes": pt.sph_nn}), flush=True)
 
-    prim = res_rays(scene, 512)
-    time_traversal("balls.primary.packets",
+    prim = res_rays(scene, res)
+    time_traversal(f"balls.primary{res}.packets",
                    lambda r: packet_closest_hit(pt, prims, r), prim)
+    time_traversal(f"balls.primary{res}.brute",
+                   lambda r: closest_hit_brute(prims, r), prim)
 
     if full:
         scene0 = rt.build_scene(sd, accel=0)
         cfg_p = rt.RenderConfig(engine="wavefront", accel_impl="packets")
         cfg_b = rt.RenderConfig(engine="wavefront")
-        time_frame("balls.frame.packets", scene, cfg_p, 512)
-        time_frame("balls.frame.brute", scene0, cfg_b, 512)
-        parity_check("balls.parity64", scene, cfg_p, cfg_p, res=64)
+        time_frame("balls.frame.packets", scene, cfg_p, res)
+        time_frame("balls.frame.brute", scene0, cfg_b, res)
 
 
 def run_mini():
@@ -228,5 +232,9 @@ if __name__ == "__main__":
         run_dragon()
     elif which == "balls":
         run_balls()
+    elif which == "balls-trav":
+        run_balls(full=False)
+    elif which == "balls512":
+        run_balls(res=512)
     elif which == "dragon-trav":
         run_dragon(full=False)
