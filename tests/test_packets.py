@@ -142,6 +142,33 @@ def test_packet_deep_tree_triangles_only():
     assert (np.asarray(oid) == np.asarray(id_ref)).mean() > 0.995
 
 
+def test_median_build_invariants_and_parity():
+    """The median-split build policy (accel/sah.py strategy="median", the
+    reference's shipped policy bvh.cpp:77-126) produces a valid tree the
+    same traversal kernel walks to brute-equal results."""
+    rng = np.random.default_rng(17)
+    n = 700
+    c = rng.uniform(-10, 10, (n, 3))
+    e = rng.uniform(0.05, 0.6, (n, 3))
+    order, nbox, nmeta, chunks = sah_build((c - e).astype(np.float32),
+                                           (c + e).astype(np.float32),
+                                           strategy="median")
+    assert sorted(order.tolist()) == list(range(n))
+    flat = chunks.reshape(-1)
+    assert sorted(flat[flat >= 0].tolist()) == list(range(n))
+
+    scene = soup(n_sph=220, n_tri=220, seed=41)
+    pt = build_packets(np.asarray(scene.prims.params),
+                       np.asarray(scene.prims.ptype), strategy="median")
+    rays = make_rays(256, seed=43)
+    t_ref, id_ref = closest_hit_brute(scene.prims, rays)
+    t, oid = packet_closest_hit(pt, scene.prims, rays, interpret=True)
+    np.testing.assert_allclose(np.minimum(np.asarray(t), 1e30),
+                               np.minimum(np.asarray(t_ref), 1e30),
+                               rtol=1e-4, atol=1e-4)
+    assert (np.asarray(oid) == np.asarray(id_ref)).mean() > 0.99
+
+
 def test_accel_impl_dispatch_parity():
     """RenderConfig.accel_impl routes trace_closest/trace_shadow to each
     traversal implementation; all agree on a BVH scene (CPU: clusters,

@@ -178,6 +178,37 @@ def run_balls(full=True, res=256):
         time_frame("balls.frame.brute", scene0, cfg_b, res)
 
 
+def run_sah_vs_median():
+    """Tree-quality A/B on dragon: SAH vs the reference's median-split
+    policy, same traversal kernel (VERDICT r2 item 2's measured delta)."""
+    from u_4a_2s_p3d_raytracer_template2_tpu.accel.packets import (
+        build_packets,
+        packet_closest_hit,
+    )
+
+    sd = rt.parse_p3f(f"{SCENES}/dragon.p3f")
+    scene = rt.build_scene(sd, accel=2)
+    prims = scene.prims
+    params = np.asarray(prims.params)
+    ptype = np.asarray(prims.ptype)
+
+    prim = res_rays(scene, 256)
+    inc = incoherent_rays(256 * 256,
+                          np.asarray(scene.packets.world_min),
+                          np.asarray(scene.packets.world_max))
+    for strategy in ("sah", "median"):
+        pt = build_packets(params, ptype, strategy=strategy)
+        print(json.dumps({"tag": f"dragon.build.{strategy}",
+                          "tri_chunks": int(pt.tri_chunks.shape[0]),
+                          "tri_nodes": pt.tri_nn}), flush=True)
+        time_traversal(f"dragon.primary.{strategy}",
+                       lambda r, pt=pt: packet_closest_hit(pt, prims, r),
+                       prim)
+        time_traversal(f"dragon.incoherent.{strategy}",
+                       lambda r, pt=pt: packet_closest_hit(pt, prims, r),
+                       inc, n_hi=4)
+
+
 def run_mini():
     """Small-scale smoke: compile + parity on-device without long waits."""
     from u_4a_2s_p3d_raytracer_template2_tpu.accel.packets import (
@@ -238,3 +269,5 @@ if __name__ == "__main__":
         run_balls(res=512)
     elif which == "dragon-trav":
         run_dragon(full=False)
+    elif which == "sah-vs-median":
+        run_sah_vs_median()

@@ -118,9 +118,11 @@ def _pad_nodes(nbox: np.ndarray, nmeta: np.ndarray):
     return nb.reshape(-1), nm.reshape(-1), nn
 
 
-def build_packets(params: np.ndarray, ptype: np.ndarray):
+def build_packets(params: np.ndarray, ptype: np.ndarray,
+                  strategy: str = "sah"):
     """Host build: per-type SAH treelets + chunk tables. None if no type
-    is large enough to benefit from a tree."""
+    is large enough to benefit from a tree. ``strategy`` selects the tree
+    build policy ("sah" | "median", see accel/sah.py)."""
     from .bvh import object_bounds
 
     params = np.asarray(params, np.float32)
@@ -135,7 +137,8 @@ def build_packets(params: np.ndarray, ptype: np.ndarray):
         if len(ids) < MIN_TREE:
             out[name] = None
             continue
-        order, nbox, nmeta, chunk_rows = sah_build(bmin[ids], bmax[ids])
+        order, nbox, nmeta, chunk_rows = sah_build(bmin[ids], bmax[ids],
+                                                   strategy=strategy)
         del order  # chunk_rows already carries the permutation
         chunk_prims = np.where(chunk_rows >= 0, ids[np.maximum(chunk_rows, 0)],
                                -1).astype(np.int64)

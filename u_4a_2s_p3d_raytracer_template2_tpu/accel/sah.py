@@ -37,13 +37,20 @@ def _surface(bmin, bmax):
 
 
 def sah_build(bmin: np.ndarray, bmax: np.ndarray, leaf_size: int = LEAF,
-              bins: int = BINS):
+              bins: int = BINS, strategy: str = "sah"):
     """Build the treelet BVH over prim bounds.
+
+    ``strategy`` — "sah" (binned surface-area heuristic) or "median"
+    (spatial median on the widest centroid axis, the reference's shipped
+    build policy, bvh.cpp:77-126) — same tree/chunk layout either way, so
+    the traversal kernels run both and the quality delta is measurable
+    (tools/bench_packets.py sah-vs-median).
 
     Returns (order [n] i32 — permutation of input rows in tree order,
     nbox [Nn,6] f32, nmeta [Nn,2] i32, chunk_prims [NC, leaf_size] i32
     holding *input row indices*, -1 padded).
     """
+    assert strategy in ("sah", "median"), strategy
     n = bmin.shape[0]
     assert n > 0
     bmin = np.asarray(bmin, np.float64)
@@ -81,6 +88,10 @@ def sah_build(bmin: np.ndarray, bmax: np.ndarray, leaf_size: int = LEAF,
             axis = int(np.argmax(cmax - cmin))
             order[lo:hi] = sel[np.argsort(cent[sel, axis], kind="stable")]
             split = lo + leaf_size
+        elif strategy == "median":
+            axis = int(np.argmax(cmax - cmin))
+            order[lo:hi] = sel[np.argsort(cent[sel, axis], kind="stable")]
+            split = lo + count // 2
         else:
             best_cost = np.inf
             best = None  # (axis, bin_of_each, threshold_bin)
