@@ -224,7 +224,7 @@ def _pt_mk(jax, jnp, report):
     dt = frame_time(lambda i: frame(jax.random.PRNGKey(100 + i)).sum(),
                     n_lo=2, n_hi=10, reps=3)
     report["pt_megakernel_glsl_256"] = {
-        "spheres": int(scene.spheres.center0.shape[0]),
+        "spheres": int(scene.sp_center0.shape[0]),
         "parity_max": float(diff.max()),
         "parity_mean": float(diff.mean()),
         "frac_gt_2e-3": float((diff.max(-1) > 2e-3).mean()),
