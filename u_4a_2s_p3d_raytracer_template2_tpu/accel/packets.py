@@ -10,7 +10,8 @@ SURVEY.md §7(a) originally called for, shaped for the TPU:
   * The tree (``accel/sah.py``, binned SAH) has 128-primitive *leaf chunks* —
     a leaf visit is one dense VPU lane-block test, the exact fold bodies of
     ``ops/pallas_intersect.py`` (Baldwin–Weber triangles / sphere quadratics,
-    reference semantics scene.cpp:55-88, 149-172).
+    reference semantics scene.cpp:55-88, 149-172). An MXU-matmul leaf form
+    was tried and measured slower (see ``_tri_fold``).
   * One kernel program traverses one PACK-ray packet with a *scalar*
     short-stack walk (node data in SMEM, prim chunks VMEM-resident): ordered
     near-to-far descent, per-ray ``entry <= t_best`` culling, stack entries
@@ -52,7 +53,7 @@ OUT_ROWS = 8        # f32 sublane quantum: Mosaic requires output blocks of
                     # first PACK//LANE rows, the rest is sliced off host-side
 
 
-@pytree(meta=("has_tri", "has_sph", "tri_nn", "sph_nn"))
+@pytree(meta=("has_tri", "has_sph", "tri_nn", "sph_nn", "leaf_chunks"))
 class PacketTables:
     # triangles: nodes + leaf-chunk tables (Baldwin-Weber functional rows)
     tri_nbox: jnp.ndarray    # [tri_nn*6] f32 (bmin, bmax per node)
@@ -70,6 +71,11 @@ class PacketTables:
     has_sph: bool = False
     tri_nn: int = 2          # node count after padding (≥2 for child reads)
     sph_nn: int = 2
+    leaf_chunks: int = 1     # 128-prim lane blocks per leaf: a leaf visit
+                             # folds this many consecutive chunks, trading
+                             # ~0.4 us of VPU work per extra chunk for a
+                             # shallower tree (fewer scalar-bound loop
+                             # iterations — the measured bottleneck)
 
 
 # ---------------------------------------------------------------------------
@@ -118,13 +124,19 @@ def _pad_nodes(nbox: np.ndarray, nmeta: np.ndarray):
     return nb.reshape(-1), nm.reshape(-1), nn
 
 
+LEAF_CHUNKS = 1     # default lane blocks per leaf (see PacketTables)
+
+
 def build_packets(params: np.ndarray, ptype: np.ndarray,
-                  strategy: str = "sah"):
+                  strategy: str = "sah", leaf_chunks: int = None):
     """Host build: per-type SAH treelets + chunk tables. None if no type
     is large enough to benefit from a tree. ``strategy`` selects the tree
-    build policy ("sah" | "median", see accel/sah.py)."""
+    build policy ("sah" | "median", see accel/sah.py); ``leaf_chunks``
+    the leaf width in 128-prim lane blocks."""
     from .bvh import object_bounds
 
+    if leaf_chunks is None:
+        leaf_chunks = LEAF_CHUNKS
     params = np.asarray(params, np.float32)
     ptype = np.asarray(ptype)
     bmin, bmax = object_bounds(params, ptype)
@@ -137,9 +149,13 @@ def build_packets(params: np.ndarray, ptype: np.ndarray,
         if len(ids) < MIN_TREE:
             out[name] = None
             continue
-        order, nbox, nmeta, chunk_rows = sah_build(bmin[ids], bmax[ids],
-                                                   strategy=strategy)
+        order, nbox, nmeta, chunk_rows = sah_build(
+            bmin[ids], bmax[ids], leaf_size=LANE * leaf_chunks,
+            strategy=strategy)
         del order  # chunk_rows already carries the permutation
+        # a leaf's row block splits into leaf_chunks consecutive 128-wide
+        # chunks; nmeta's leaf index a addresses chunk a*leaf_chunks
+        chunk_rows = chunk_rows.reshape(-1, LANE)
         chunk_prims = np.where(chunk_rows >= 0, ids[np.maximum(chunk_rows, 0)],
                                -1).astype(np.int64)
         nb, nm, nn = _pad_nodes(nbox, nmeta)
@@ -175,6 +191,7 @@ def build_packets(params: np.ndarray, ptype: np.ndarray,
         world_min=jnp.asarray(wmin.astype(np.float32)),
         world_max=jnp.asarray(wmax.astype(np.float32)),
         has_tri=has_tri, has_sph=has_sph, tri_nn=t_nn, sph_nn=s_nn,
+        leaf_chunks=leaf_chunks,
     )
 
 
@@ -191,7 +208,14 @@ def _sinv(c):
 
 def _tri_fold(m, cols, quad):
     """One chunk [16, LANE] of Baldwin-Weber triangles vs the packet.
-    Returns the [PACK, LANE] hit-t map (BIG on miss)."""
+    Returns the [PACK, LANE] hit-t map (BIG on miss).
+
+    Broadcast-multiply VPU form, deliberately NOT an MXU matmul: the
+    [6*pack, 16] @ [16, 128] formulation was measured SLOWER on-device
+    (dragon primary closest 41 ms vs 32 ms) — f32 MXU emulation is
+    multi-pass, K=16 pads to 128, and the matmul adds a latency chain to
+    every leaf visit, while the broadcast form is ~40 ops on 32-vreg
+    tiles that overlap with the scalar node walk."""
     ox, oy, oz, dx, dy, dz = cols
 
     def plane(r0):
@@ -260,11 +284,12 @@ def _store_best(t_slot, pos_slot, t_ref, pos_ref, pack):
     pos_ref[:] = p_out
 
 
-def _make_closest_kernel(kind: str, pack: int):
+def _make_closest_kernel(kind: str, pack: int, leaf_chunks: int = 1):
     fold = _FOLDS[kind]
 
     def kernel(nbox_ref, nmeta_ref, chunks_ref, om_ref, dm_ref,
-               t_ref, pos_ref, stackn_ref, stackt_ref, ts_ref, ps_ref):
+               t_ref, pos_ref, stackn_ref, stackt_ref, ts_ref, ps_ref,
+               tb_ref):
         om = om_ref[:]
         dm = dm_ref[:]
         cols = (om[:, 0:1], om[:, 1:2], om[:, 2:3],
@@ -279,6 +304,9 @@ def _make_closest_kernel(kind: str, pack: int):
         ts_ref[:] = jnp.broadcast_to(
             jnp.where(valid > 0.5, C.BIG, -C.BIG), (pack, LANE))
         ps_ref[:] = jnp.full((pack, LANE), -1.0, jnp.float32)
+        # running per-ray best (== rowmin(ts)), updated only at leaf
+        # visits so internal-node iterations skip the [pack, LANE] reduce
+        tb_ref[:] = jnp.where(valid > 0.5, C.BIG, -C.BIG)
 
         def slab(ni):
             base = 6 * ni
@@ -312,13 +340,17 @@ def _make_closest_kernel(kind: str, pack: int):
 
             @pl.when(active & (is_leaf == 1))
             def _():
-                t = fold(chunks_ref[a], cols, quad)
-                ppos = iota + a.astype(jnp.float32) * float(LANE)
-                better = t < ts_ref[:]
-                ps_ref[:] = jnp.where(better, ppos, ps_ref[:])
-                ts_ref[:] = jnp.where(better, t, ts_ref[:])
+                base = a * leaf_chunks
+                for j in range(leaf_chunks):    # unrolled lane blocks
+                    t = fold(chunks_ref[base + j], cols, quad)
+                    ppos = iota + (base + j).astype(jnp.float32) * float(LANE)
+                    better = t < ts_ref[:]
+                    ps_ref[:] = jnp.where(better, ppos, ps_ref[:])
+                    ts_ref[:] = jnp.where(better, t, ts_ref[:])
+                    tb_ref[:] = jnp.minimum(
+                        tb_ref[:], jnp.min(t, axis=-1, keepdims=True))
 
-            tbest = jnp.min(ts_ref[:], axis=-1, keepdims=True)  # [pack, 1]
+            tbest = tb_ref[:]                                   # [pack, 1]
             t_far = jnp.max(tbest)                              # scalar
 
             li = jnp.clip(a, 0, nn - 2)
@@ -366,11 +398,12 @@ def _make_closest_kernel(kind: str, pack: int):
     return kernel
 
 
-def _make_any_kernel(kind: str, pack: int, max_t: float):
+def _make_any_kernel(kind: str, pack: int, max_t: float,
+                     leaf_chunks: int = 1):
     fold = _FOLDS[kind]
 
     def kernel(nbox_ref, nmeta_ref, chunks_ref, om_ref, dm_ref,
-               occ_ref, stackn_ref, oc_ref):
+               occ_ref, stackn_ref, oc_ref, ro_ref):
         om = om_ref[:]
         dm = dm_ref[:]
         cols = (om[:, 0:1], om[:, 1:2], om[:, 2:3],
@@ -379,8 +412,11 @@ def _make_any_kernel(kind: str, pack: int, max_t: float):
         valid = om[:, 7:8]
         ivx, ivy, ivz = _sinv(cols[3]), _sinv(cols[4]), _sinv(cols[5])
 
-        # pad rays start occluded so they never block the early exit
+        # pad rays start occluded so they never block the early exit;
+        # ro = rowmax(oc), updated only at leaf visits so internal-node
+        # iterations skip the [pack, LANE] reduces
         oc_ref[:] = jnp.broadcast_to(1.0 - valid, (pack, LANE))
+        ro_ref[:] = 1.0 - valid
 
         def slab(ni):
             base = 6 * ni
@@ -411,11 +447,16 @@ def _make_any_kernel(kind: str, pack: int, max_t: float):
 
             @pl.when(active & (is_leaf == 1))
             def _():
-                t = fold(chunks_ref[a], cols, quad)
-                oc_ref[:] = jnp.maximum(
-                    oc_ref[:], jnp.where(t < max_t, 1.0, 0.0))
+                base = a * leaf_chunks
+                for j in range(leaf_chunks):    # unrolled lane blocks
+                    hit = jnp.where(
+                        fold(chunks_ref[base + j], cols, quad) < max_t,
+                        1.0, 0.0)
+                    oc_ref[:] = jnp.maximum(oc_ref[:], hit)
+                    ro_ref[:] = jnp.maximum(
+                        ro_ref[:], jnp.max(hit, axis=-1, keepdims=True))
 
-            no_occ = jnp.max(oc_ref[:], axis=-1, keepdims=True) < 0.5
+            no_occ = ro_ref[:] < 0.5
             all_occ = jnp.max(jnp.where(no_occ, 1.0, 0.0)) == 0.0
 
             li = jnp.clip(a, 0, nn - 2)
@@ -472,14 +513,15 @@ def _out_rows(pack):
     return max(OUT_ROWS, pack // LANE)
 
 
-def _walk_closest(kind, nbox, nmeta, chunks, om, dm, pack, interpret):
+def _walk_closest(kind, nbox, nmeta, chunks, om, dm, pack, interpret,
+                  leaf_chunks=1):
     R = om.shape[0]
     nc = chunks.shape[0]
     stack = max(64, nc + 8)
     n_packs = R // pack
     orows = _out_rows(pack)
     t, pos = pl.pallas_call(
-        _make_closest_kernel(kind, pack),
+        _make_closest_kernel(kind, pack, leaf_chunks),
         grid=(n_packs,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -502,6 +544,7 @@ def _walk_closest(kind, nbox, nmeta, chunks, om, dm, pack, interpret):
             pltpu.SMEM((stack,), jnp.float32),
             pltpu.VMEM((pack, LANE), jnp.float32),
             pltpu.VMEM((pack, LANE), jnp.float32),
+            pltpu.VMEM((pack, 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -513,14 +556,15 @@ def _walk_closest(kind, nbox, nmeta, chunks, om, dm, pack, interpret):
     return t, pos
 
 
-def _walk_any(kind, nbox, nmeta, chunks, om, dm, pack, max_t, interpret):
+def _walk_any(kind, nbox, nmeta, chunks, om, dm, pack, max_t, interpret,
+              leaf_chunks=1):
     R = om.shape[0]
     nc = chunks.shape[0]
     stack = max(64, nc + 8)
     n_packs = R // pack
     orows = _out_rows(pack)
     occ = pl.pallas_call(
-        _make_any_kernel(kind, pack, float(max_t)),
+        _make_any_kernel(kind, pack, float(max_t), leaf_chunks),
         grid=(n_packs,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -534,6 +578,7 @@ def _walk_any(kind, nbox, nmeta, chunks, om, dm, pack, max_t, interpret):
         scratch_shapes=[
             pltpu.SMEM((stack,), jnp.int32),
             pltpu.VMEM((pack, LANE), jnp.float32),
+            pltpu.VMEM((pack, 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -576,12 +621,16 @@ def _sorted_padded(pt: PacketTables, rays: Rays, pack: int,
                                              "interpret"))
 def packet_closest_hit(pt: PacketTables, prims: Primitives, rays: Rays,
                        pack: int = PACK, coherence_sort: bool = True,
-                       interpret: bool = False):
+                       interpret: bool = None):
     """Closest hit via packet-BVH walks + dense sweeps for treeless types.
 
     Returns (t [R], obj_id [R]); -1 id on miss. Discrete outputs — wrapped
     in stop_gradient (shading re-intersects the winner differentiably).
+    ``interpret=None`` resolves to True off-TPU so a forced
+    ``accel_impl="packets"`` stays runnable on any backend.
     """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     pt = jax.lax.stop_gradient(pt)
     rays = jax.lax.stop_gradient(rays)
     om, dm, R, perm = _sorted_padded(pt, rays, pack, coherence_sort)
@@ -590,14 +639,16 @@ def packet_closest_hit(pt: PacketTables, prims: Primitives, rays: Rays,
     id_best = jnp.full((om.shape[0],), -1, jnp.int32)
     if pt.has_tri:
         t, pos = _walk_closest("tri", pt.tri_nbox, pt.tri_nmeta,
-                               pt.tri_chunks, om, dm, pack, interpret)
+                               pt.tri_chunks, om, dm, pack, interpret,
+                               pt.leaf_chunks)
         pid = _gather_ids(pt.tri_ids, pos)
         better = t < t_best
         t_best = jnp.where(better, t, t_best)
         id_best = jnp.where(better, pid, id_best)
     if pt.has_sph:
         t, pos = _walk_closest("sph", pt.sph_nbox, pt.sph_nmeta,
-                               pt.sph_chunks, om, dm, pack, interpret)
+                               pt.sph_chunks, om, dm, pack, interpret,
+                               pt.leaf_chunks)
         pid = _gather_ids(pt.sph_ids, pos)
         better = t < t_best
         t_best = jnp.where(better, t, t_best)
@@ -635,8 +686,10 @@ def packet_closest_hit(pt: PacketTables, prims: Primitives, rays: Rays,
                                              "coherence_sort", "interpret"))
 def packet_any_hit(pt: PacketTables, prims: Primitives, rays: Rays,
                    max_t: float, pack: int = PACK,
-                   coherence_sort: bool = True, interpret: bool = False):
+                   coherence_sort: bool = True, interpret: bool = None):
     """Early-exit occlusion via packet-BVH walks. [R] bool."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     pt = jax.lax.stop_gradient(pt)
     rays = jax.lax.stop_gradient(rays)
     om, dm, R, perm = _sorted_padded(pt, rays, pack, coherence_sort)
@@ -645,11 +698,11 @@ def packet_any_hit(pt: PacketTables, prims: Primitives, rays: Rays,
     if pt.has_tri:
         occ = jnp.maximum(occ, _walk_any("tri", pt.tri_nbox, pt.tri_nmeta,
                                          pt.tri_chunks, om, dm, pack, max_t,
-                                         interpret))
+                                         interpret, pt.leaf_chunks))
     if pt.has_sph:
         occ = jnp.maximum(occ, _walk_any("sph", pt.sph_nbox, pt.sph_nmeta,
                                          pt.sph_chunks, om, dm, pack, max_t,
-                                         interpret))
+                                         interpret, pt.leaf_chunks))
     occ = occ[:R] > 0.5
     if perm is not None:
         occ = occ[jnp.argsort(perm)]

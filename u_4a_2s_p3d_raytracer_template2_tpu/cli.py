@@ -63,6 +63,7 @@ def _config(args, scene):
         fresnel_mode=args.fresnel,
         refraction_mode=args.refraction,
         engine=getattr(args, "engine", "sweep") or "sweep",
+        accel_impl=getattr(args, "accel_impl", "auto") or "auto",
     )
     cfg = cfg.with_scene_flags(scene)
     if args.spp is not None:
@@ -497,6 +498,12 @@ def main(argv=None):
                         choices=["sweep", "wavefront", "megakernel"],
                         help="secondary-ray engine; megakernel = "
                         "scene-baked Pallas kernel (TPU, small scenes)")
+        sp.add_argument("--accel-impl", dest="accel_impl", default="auto",
+                        choices=["auto", "packets", "clusters", "perray",
+                                 "brute"],
+                        help="BVH-mode traversal implementation (auto = "
+                        "packet-BVH kernel on TPU, cluster sweeps "
+                        "elsewhere)")
 
     pr = sub.add_parser("render", help="render a scene to PNG")
     common(pr)
