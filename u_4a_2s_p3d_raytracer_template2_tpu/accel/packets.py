@@ -53,7 +53,8 @@ OUT_ROWS = 8        # f32 sublane quantum: Mosaic requires output blocks of
                     # first PACK//LANE rows, the rest is sliced off host-side
 
 
-@pytree(meta=("has_tri", "has_sph", "tri_nn", "sph_nn", "leaf_chunks"))
+@pytree(meta=("has_tri", "has_sph", "tri_nn", "sph_nn", "tri_leaf_chunks",
+              "sph_leaf_chunks"))
 class PacketTables:
     # triangles: nodes + leaf-chunk tables (Baldwin-Weber functional rows)
     tri_nbox: jnp.ndarray    # [tri_nn*6] f32 (bmin, bmax per node)
@@ -71,11 +72,12 @@ class PacketTables:
     has_sph: bool = False
     tri_nn: int = 2          # node count after padding (≥2 for child reads)
     sph_nn: int = 2
-    leaf_chunks: int = 1     # 128-prim lane blocks per leaf: a leaf visit
-                             # folds this many consecutive chunks, trading
-                             # ~0.4 us of VPU work per extra chunk for a
-                             # shallower tree (fewer scalar-bound loop
-                             # iterations — the measured bottleneck)
+    tri_leaf_chunks: int = 1  # 128-prim lane blocks per leaf: a leaf visit
+    sph_leaf_chunks: int = 1  # folds this many consecutive chunks, trading
+                              # VPU fold work (~0.4 us tri / ~0.2 us sph per
+                              # block) for a shallower tree (fewer
+                              # scalar-bound loop iterations — the measured
+                              # bottleneck; sweep: tools/tune_packets.py)
 
 
 # ---------------------------------------------------------------------------
@@ -124,19 +126,27 @@ def _pad_nodes(nbox: np.ndarray, nmeta: np.ndarray):
     return nb.reshape(-1), nm.reshape(-1), nn
 
 
-LEAF_CHUNKS = 1     # default lane blocks per leaf (see PacketTables)
+# Default lane blocks per leaf, tuned on-device (tools/tune_packets.py,
+# v5e): wider leaves beat deeper trees until the per-block fold cost
+# catches the saved scalar iterations — tris saturate at 4 (dragon
+# primary closest 30.9 -> 21.2 ms), the half-width sphere folds at 8
+# (balls_high incoherent closest 20.8 -> 9.2 ms, any-hit 21.5 -> 8.4 ms).
+LEAF_CHUNKS = {"tri": 4, "sph": 8}
 
 
 def build_packets(params: np.ndarray, ptype: np.ndarray,
-                  strategy: str = "sah", leaf_chunks: int = None):
+                  strategy: str = "sah", leaf_chunks=None):
     """Host build: per-type SAH treelets + chunk tables. None if no type
     is large enough to benefit from a tree. ``strategy`` selects the tree
     build policy ("sah" | "median", see accel/sah.py); ``leaf_chunks``
-    the leaf width in 128-prim lane blocks."""
+    the leaf width in 128-prim lane blocks — an int for both types or a
+    {"tri": n, "sph": n} dict (default: the tuned LEAF_CHUNKS)."""
     from .bvh import object_bounds
 
     if leaf_chunks is None:
         leaf_chunks = LEAF_CHUNKS
+    if isinstance(leaf_chunks, int):
+        leaf_chunks = {"tri": leaf_chunks, "sph": leaf_chunks}
     params = np.asarray(params, np.float32)
     ptype = np.asarray(ptype)
     bmin, bmax = object_bounds(params, ptype)
@@ -150,7 +160,7 @@ def build_packets(params: np.ndarray, ptype: np.ndarray,
             out[name] = None
             continue
         order, nbox, nmeta, chunk_rows = sah_build(
-            bmin[ids], bmax[ids], leaf_size=LANE * leaf_chunks,
+            bmin[ids], bmax[ids], leaf_size=LANE * leaf_chunks[name],
             strategy=strategy)
         del order  # chunk_rows already carries the permutation
         # a leaf's row block splits into leaf_chunks consecutive 128-wide
@@ -191,7 +201,8 @@ def build_packets(params: np.ndarray, ptype: np.ndarray,
         world_min=jnp.asarray(wmin.astype(np.float32)),
         world_max=jnp.asarray(wmax.astype(np.float32)),
         has_tri=has_tri, has_sph=has_sph, tri_nn=t_nn, sph_nn=s_nn,
-        leaf_chunks=leaf_chunks,
+        tri_leaf_chunks=leaf_chunks["tri"],
+        sph_leaf_chunks=leaf_chunks["sph"],
     )
 
 
@@ -640,7 +651,7 @@ def packet_closest_hit(pt: PacketTables, prims: Primitives, rays: Rays,
     if pt.has_tri:
         t, pos = _walk_closest("tri", pt.tri_nbox, pt.tri_nmeta,
                                pt.tri_chunks, om, dm, pack, interpret,
-                               pt.leaf_chunks)
+                               pt.tri_leaf_chunks)
         pid = _gather_ids(pt.tri_ids, pos)
         better = t < t_best
         t_best = jnp.where(better, t, t_best)
@@ -648,7 +659,7 @@ def packet_closest_hit(pt: PacketTables, prims: Primitives, rays: Rays,
     if pt.has_sph:
         t, pos = _walk_closest("sph", pt.sph_nbox, pt.sph_nmeta,
                                pt.sph_chunks, om, dm, pack, interpret,
-                               pt.leaf_chunks)
+                               pt.sph_leaf_chunks)
         pid = _gather_ids(pt.sph_ids, pos)
         better = t < t_best
         t_best = jnp.where(better, t, t_best)
@@ -698,11 +709,11 @@ def packet_any_hit(pt: PacketTables, prims: Primitives, rays: Rays,
     if pt.has_tri:
         occ = jnp.maximum(occ, _walk_any("tri", pt.tri_nbox, pt.tri_nmeta,
                                          pt.tri_chunks, om, dm, pack, max_t,
-                                         interpret, pt.leaf_chunks))
+                                         interpret, pt.tri_leaf_chunks))
     if pt.has_sph:
         occ = jnp.maximum(occ, _walk_any("sph", pt.sph_nbox, pt.sph_nmeta,
                                          pt.sph_chunks, om, dm, pack, max_t,
-                                         interpret, pt.leaf_chunks))
+                                         interpret, pt.sph_leaf_chunks))
     occ = occ[:R] > 0.5
     if perm is not None:
         occ = occ[jnp.argsort(perm)]
