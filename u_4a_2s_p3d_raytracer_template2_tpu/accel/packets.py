@@ -605,6 +605,22 @@ def _gather_ids(ids, pos):
     return jnp.where(pos >= 0, ids[safe], -1)
 
 
+# Coherence-sort auto threshold, measured on-device (v5e): the sort
+# machinery (key + argsort + permute/inverse gathers) costs ~10 ns/ray
+# per call; its benefit is tighter packets, which only matters when
+# walks are long enough to diverge. dragon (539-node tri tree, 65k
+# rays/frame): sorting wins 149 vs 158 ms/frame. balls_high (17-node
+# sphere tree, 1M rays/frame): sorting LOSES 467 vs 378 ms — there is
+# nothing to diverge over. Node count is the proxy: sort iff any
+# treelet has >= this many nodes.
+SORT_MIN_NODES = 256
+
+
+def _auto_sort(pt: PacketTables) -> bool:
+    return ((pt.has_tri and pt.tri_nn >= SORT_MIN_NODES)
+            or (pt.has_sph and pt.sph_nn >= SORT_MIN_NODES))
+
+
 def _sorted_padded(pt: PacketTables, rays: Rays, pack: int,
                    coherence_sort: bool):
     from .clusters import _coherence_key
@@ -631,17 +647,20 @@ def _sorted_padded(pt: PacketTables, rays: Rays, pack: int,
 @functools.partial(jax.jit, static_argnames=("pack", "coherence_sort",
                                              "interpret"))
 def packet_closest_hit(pt: PacketTables, prims: Primitives, rays: Rays,
-                       pack: int = PACK, coherence_sort: bool = True,
+                       pack: int = PACK, coherence_sort: bool = None,
                        interpret: bool = None):
     """Closest hit via packet-BVH walks + dense sweeps for treeless types.
 
     Returns (t [R], obj_id [R]); -1 id on miss. Discrete outputs — wrapped
     in stop_gradient (shading re-intersects the winner differentiably).
     ``interpret=None`` resolves to True off-TPU so a forced
-    ``accel_impl="packets"`` stays runnable on any backend.
+    ``accel_impl="packets"`` stays runnable on any backend;
+    ``coherence_sort=None`` resolves by treelet size (see SORT_MIN_NODES).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if coherence_sort is None:
+        coherence_sort = _auto_sort(pt)
     pt = jax.lax.stop_gradient(pt)
     rays = jax.lax.stop_gradient(rays)
     om, dm, R, perm = _sorted_padded(pt, rays, pack, coherence_sort)
@@ -697,10 +716,12 @@ def packet_closest_hit(pt: PacketTables, prims: Primitives, rays: Rays,
                                              "coherence_sort", "interpret"))
 def packet_any_hit(pt: PacketTables, prims: Primitives, rays: Rays,
                    max_t: float, pack: int = PACK,
-                   coherence_sort: bool = True, interpret: bool = None):
+                   coherence_sort: bool = None, interpret: bool = None):
     """Early-exit occlusion via packet-BVH walks. [R] bool."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if coherence_sort is None:
+        coherence_sort = _auto_sort(pt)
     pt = jax.lax.stop_gradient(pt)
     rays = jax.lax.stop_gradient(rays)
     om, dm, R, perm = _sorted_padded(pt, rays, pack, coherence_sort)
