@@ -142,6 +142,30 @@ def test_packet_deep_tree_triangles_only():
     assert (np.asarray(oid) == np.asarray(id_ref)).mean() > 0.995
 
 
+@pytest.mark.parametrize("lc,sort", [(1, True), (2, False), (8, True)])
+def test_packet_leaf_width_parity(lc, sort):
+    """Tunable leaf widths (LEAF_CHUNKS lane blocks per leaf) and both
+    coherence-sort settings keep exact brute parity — the on-device tuned
+    defaults (tri x4 / sph x8, tools/tune_packets.py) change only the
+    walk schedule, never the fold semantics."""
+    scene = soup(seed=21)
+    pt = build_packets(np.asarray(scene.prims.params),
+                       np.asarray(scene.prims.ptype), leaf_chunks=lc)
+    assert pt.tri_leaf_chunks == lc and pt.sph_leaf_chunks == lc
+    rays = make_rays(384, seed=3)
+    t_ref, id_ref = closest_hit_brute(scene.prims, rays)
+    t, oid = packet_closest_hit(pt, scene.prims, rays, interpret=True,
+                                coherence_sort=sort)
+    np.testing.assert_allclose(np.minimum(np.asarray(t), 1e30),
+                               np.minimum(np.asarray(t_ref), 1e30),
+                               rtol=1e-4, atol=1e-4)
+    assert (np.asarray(oid) == np.asarray(id_ref)).mean() > 0.995
+    occ = packet_any_hit(pt, scene.prims, rays, 5.0, interpret=True,
+                         coherence_sort=sort)
+    occ_ref = any_hit_brute(scene.prims, rays, 5.0)
+    assert (np.asarray(occ) == np.asarray(occ_ref)).all()
+
+
 def test_median_build_invariants_and_parity():
     """The median-split build policy (accel/sah.py strategy="median", the
     reference's shipped policy bvh.cpp:77-126) produces a valid tree the
