@@ -117,13 +117,12 @@ def main():
     results = []
 
     # --- secondary scenes first (headline line must be LAST) -------------
-    # dragon frames run seconds (65k incoherent deep rays over 100k tris):
-    # a short loop keeps the bench bounded while still cancelling dispatch
     # dragon and balls_high ride the packet-BVH Pallas kernel (accel_impl
-    # auto on TPU, accel/packets.py): dragon 173 ms/frame vs 6.28 s on
-    # cluster sweeps; balls_high frames 2.2x faster than the Pallas brute
-    # path (104 vs 234 ms at 256², tools/bench_packets.py). balls_medium
-    # (91 spheres) fits the raised megakernel bake ceiling.
+    # auto on TPU, accel/packets.py, tuned leaf widths + depth-gated
+    # coherence sort): dragon 114 ms/frame vs 6.28 s on cluster sweeps;
+    # balls_high 2.8x the Pallas brute path (84 vs 234 ms at 256²,
+    # tools/bench_packets.py). balls_medium (91 spheres) fits the raised
+    # megakernel bake ceiling.
     for name, label, accel, engine, n_hi in (
             ("balls_medium.p3f", "balls_medium", None, "megakernel", 30),
             ("balls_high.p3f", "balls_high", 2, "wavefront", 10),
