@@ -644,11 +644,9 @@ def _sorted_padded(pt: PacketTables, rays: Rays, pack: int,
     return om, dm, R, perm
 
 
-@functools.partial(jax.jit, static_argnames=("pack", "coherence_sort",
-                                             "interpret"))
 def packet_closest_hit(pt: PacketTables, prims: Primitives, rays: Rays,
-                       pack: int = PACK, coherence_sort: bool = None,
-                       interpret: bool = None):
+                       pack: int = PACK, coherence_sort: bool | None = None,
+                       interpret: bool | None = None):
     """Closest hit via packet-BVH walks + dense sweeps for treeless types.
 
     Returns (t [R], obj_id [R]); -1 id on miss. Discrete outputs — wrapped
@@ -656,11 +654,22 @@ def packet_closest_hit(pt: PacketTables, prims: Primitives, rays: Rays,
     ``interpret=None`` resolves to True off-TPU so a forced
     ``accel_impl="packets"`` stays runnable on any backend;
     ``coherence_sort=None`` resolves by treelet size (see SORT_MIN_NODES).
+    The None defaults resolve HERE, outside jit, so the resolved bools are
+    the static cache keys (a backend change after the first trace can't
+    reuse a stale interpret choice).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if coherence_sort is None:
         coherence_sort = _auto_sort(pt)
+    return _packet_closest_hit(pt, prims, rays, pack, bool(coherence_sort),
+                               bool(interpret))
+
+
+@functools.partial(jax.jit, static_argnames=("pack", "coherence_sort",
+                                             "interpret"))
+def _packet_closest_hit(pt: PacketTables, prims: Primitives, rays: Rays,
+                        pack: int, coherence_sort: bool, interpret: bool):
     pt = jax.lax.stop_gradient(pt)
     rays = jax.lax.stop_gradient(rays)
     om, dm, R, perm = _sorted_padded(pt, rays, pack, coherence_sort)
@@ -712,16 +721,25 @@ def packet_closest_hit(pt: PacketTables, prims: Primitives, rays: Rays,
     return t_best, jnp.where(t_best >= C.BIG, -1, id_best)
 
 
-@functools.partial(jax.jit, static_argnames=("max_t", "pack",
-                                             "coherence_sort", "interpret"))
 def packet_any_hit(pt: PacketTables, prims: Primitives, rays: Rays,
                    max_t: float, pack: int = PACK,
-                   coherence_sort: bool = None, interpret: bool = None):
-    """Early-exit occlusion via packet-BVH walks. [R] bool."""
+                   coherence_sort: bool | None = None,
+                   interpret: bool | None = None):
+    """Early-exit occlusion via packet-BVH walks. [R] bool. None defaults
+    resolve here, outside jit (see packet_closest_hit)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if coherence_sort is None:
         coherence_sort = _auto_sort(pt)
+    return _packet_any_hit(pt, prims, rays, float(max_t), pack,
+                           bool(coherence_sort), bool(interpret))
+
+
+@functools.partial(jax.jit, static_argnames=("max_t", "pack",
+                                             "coherence_sort", "interpret"))
+def _packet_any_hit(pt: PacketTables, prims: Primitives, rays: Rays,
+                    max_t: float, pack: int, coherence_sort: bool,
+                    interpret: bool):
     pt = jax.lax.stop_gradient(pt)
     rays = jax.lax.stop_gradient(rays)
     om, dm, R, perm = _sorted_padded(pt, rays, pack, coherence_sort)

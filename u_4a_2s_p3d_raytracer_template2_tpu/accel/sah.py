@@ -16,10 +16,14 @@ Output layout (all host NumPy; uploaded by ``accel/packets.py``):
                        leaf: (chunk index, 1)
   chunk_prims [NC, leaf_size] i32 — global prim rows per leaf, -1 padded
 
-Fill-rate guarantee: nodes with count in (leaf, 2*leaf] split at exactly
-``leaf`` along the widest centroid axis, so at most one partially-filled
-chunk per binary tail — the table stays ~N slots, not ~2N (VMEM residency
-is the point).
+Fill-rate guarantee (in ``leaf_size`` units): nodes with count in
+(leaf_size, 2*leaf_size] split at exactly ``leaf_size`` along the widest
+centroid axis, so at most one partially-filled *leaf* per binary tail — the
+table stays ~N slots, not ~2N (VMEM residency is the point). When a leaf
+spans several 128-wide lane blocks (leaf_chunks > 1 in accel/packets.py),
+that one partial leaf expands to up to leaf_chunks mostly-empty blocks the
+kernel folds on every visit; harmless at tree scale (>=MIN_TREE prims) since
+only the tail leaf pays it.
 """
 from __future__ import annotations
 
