@@ -27,8 +27,31 @@ def _grid(res):
     return xs.reshape(-1), ys.reshape(-1)
 
 
-def _compare(sd, cfg, res, atol=2e-3):
+def _test_skybox():
+    """Small smooth synthetic cubemap: per-face tint + gradient (smooth so
+    a one-texel lookup flip from float-assoc differences stays tiny)."""
+    import jax.numpy as jnp
+
+    h = w = 8
+    faces = np.zeros((6, h, w, 3), np.float32)
+    tints = np.array([[1, .3, .2], [.2, 1, .3], [.3, .2, 1],
+                      [1, 1, .2], [.2, 1, 1], [1, .2, 1]], np.float32)
+    yy, xx = np.meshgrid(np.linspace(0, 1, h), np.linspace(0, 1, w),
+                         indexing="ij")
+    g = (0.3 + 0.7 * 0.5 * (yy + xx))[None, :, :, None]
+    faces = tints[:, None, None, :] * g
+    return jnp.asarray(faces)
+
+
+def _with_skybox(scene):
+    return dataclasses.replace(scene, skybox=_test_skybox(),
+                               has_skybox=True)
+
+
+def _compare(sd, cfg, res, atol=2e-3, skybox=False):
     scene = rt.build_scene(sd)
+    if skybox:
+        scene = _with_skybox(scene)
     px, py = _grid(res)
     key = jax.random.PRNGKey(0)
     from u_4a_2s_p3d_raytracer_template2_tpu.core.types import clamp01
@@ -124,11 +147,48 @@ def test_megakernel_fuzzy_plus_jittered_soft():
     _compare(mixed_scene(res=8), cfg, 8, atol=5e-3)
 
 
+def test_megakernel_skybox_deferred():
+    """Deferred-sky: misses shade black in-kernel; weights+directions stream
+    out and the epilogue's cubemap gather reconstitutes the sweep's image
+    elementwise (refl+refr tree — every node can contribute sky)."""
+    cfg = dataclasses.replace(rt.RenderConfig(max_depth=3),
+                              use_skybox=True)
+    _compare(mixed_scene(res=12), cfg, 12, skybox=True)
+
+
+def test_megakernel_skybox_refl_only_chain():
+    """balls_low/dof-class scenes: reflective-only materials → chain
+    recursion, 4 sky nodes."""
+    sd = sphere_plane_scene(res=12)
+    cfg = dataclasses.replace(rt.RenderConfig(max_depth=4),
+                              use_skybox=True)
+    _compare(sd, cfg, 12, skybox=True)
+
+
+def test_megakernel_skybox_distribution_mode():
+    """The reference's headline spp>0 mode (AA+DoF, main.cpp:939-946) with
+    skybox-on-miss — the balls_low.p3f / dof.p3f configuration."""
+    sd = mixed_scene(res=8)
+    sd.camera["aperture_ratio"] = 2.0
+    cfg = dataclasses.replace(rt.RenderConfig(max_depth=2), spp=2,
+                              anti_aliasing=True, depth_of_field=True,
+                              use_skybox=True)
+    _compare(sd, cfg, 8, atol=5e-3, skybox=True)
+
+
+def test_megakernel_supports_skybox():
+    from u_4a_2s_p3d_raytracer_template2_tpu.models.scenes import mount_scene
+
+    scene = _with_skybox(rt.build_scene(mount_scene(res=8)))
+    cfg = dataclasses.replace(rt.RenderConfig(), use_skybox=True)
+    assert mk.supports(scene, cfg)
+
+
 def test_megakernel_fallback_unsupported(monkeypatch):
     """Scenes the kernel doesn't serve (over the bake ceiling) must fall
     back to the wavefront engine inside render_image (same image either
-    way). Soft shadows/fuzzy/parity modes are all SUPPORTED now — the bake
-    ceiling and skybox-on-miss are the only fallbacks left."""
+    way). Soft shadows/fuzzy/parity modes/skybox are all SUPPORTED now —
+    the bake ceiling is the only fallback left."""
     from u_4a_2s_p3d_raytracer_template2_tpu.models.scenes import mount_scene
 
     scene = rt.build_scene(mount_scene(res=12))

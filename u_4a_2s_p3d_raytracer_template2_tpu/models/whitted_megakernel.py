@@ -27,8 +27,22 @@ Design choices, all TPU-first:
     Static material-population pruning (has_reflective/has_transmissive)
     prunes absent subtrees exactly like the XLA engines.
 
-Scope: every RenderConfig except skybox-on-miss (cubemap gathers don't
-bake), at scene sizes up to BAKE_MAX_PRIMS. Stochastic features follow the
+Scope: every RenderConfig at scene sizes up to BAKE_MAX_PRIMS — including
+skybox-on-miss (scene.cpp:383-461 capability, BASELINE config #4), via the
+DEFERRED-SKY scheme: the 6x2048^2 cubemap (288 MB f32) can neither bake as
+immediates nor fit VMEM, and Mosaic has no per-lane dynamic texture gather —
+but the Whitted combine is LINEAR in each node's miss color
+(color = local + KR*spec*refl + (1-KR)*refr, main.cpp:719), so a miss node's
+sky term enters the frame as weight(node) (x) sky(d_node), with weight the
+product of the branch factors along the path (already computed in-kernel).
+The kernel therefore shades misses black, records per tree node a [3]-vector
+weight row-triple plus the node's ray direction triple ([6 rows, R] extra
+output — ~24-90 f32/ray, a few MB/frame), and an XLA epilogue outside the
+kernel does the cubemap gather (ops/shade.skybox_color, XLA's bread and
+butter) and adds sum_i w_i (x) sky(d_i) before the final clamp. Elementwise
+equality with the sweep engine is preserved by construction.
+
+Stochastic features follow the
 pt_megakernel pattern — sample VALUES are drawn OUTSIDE the kernel with the
 exact ``jax.random`` split chain of the sweep engine (_draw_stream mirrors
 trace_rays/_level_step/direct_lighting draw for draw, exploiting
@@ -112,6 +126,7 @@ class _SceneConsts:
         self.bg = [float(x) for x in np.asarray(scene.bg_color)]
         self.has_refl = bool(scene.has_reflective)
         self.has_refr = bool(scene.has_transmissive)
+        self.has_sky = bool(scene.has_skybox)
         self.n = scene.n_objects
 
 
@@ -293,6 +308,33 @@ def _stream_layout(consts, cfg):
     return n, rowmap
 
 
+def _sky_on(consts, cfg) -> bool:
+    return bool(cfg.use_skybox and consts.has_sky)
+
+
+def _sky_layout(consts, cfg):
+    """Static row assignment for the deferred-sky output (module doc).
+
+    Every node of the static recursion tree can miss, so every (lvl, path)
+    gets a 6-row slot: rows [r, r+3) = per-channel weight, [r+3, r+6) = the
+    node's ray direction. Returns (n_rows, {(lvl, path): first_row})."""
+    if not _sky_on(consts, cfg):
+        return 0, {}
+    has_sec = consts.has_refl or consts.has_refr
+    branch = 2 if (consts.has_refl and consts.has_refr) else 1
+    n_levels = cfg.max_depth if has_sec else 1
+    rowmap = {}
+    n = 0
+    w = 1
+    for lvl in range(n_levels):
+        for path in range(w):
+            rowmap[(lvl, path)] = n
+            n += 6
+        if has_sec and lvl < n_levels - 1:
+            w *= branch
+    return n, rowmap
+
+
 def _direct_light(consts, cfg, o, d, hp, precise, n, mat, hit, need_inv,
                   stream, node):
     """processLight over baked lights (main.cpp:471-526), plus the two
@@ -376,9 +418,11 @@ def _direct_light(consts, cfg, o, d, hp, precise, n, mat, hit, need_inv,
     return col
 
 
-def _node(consts, cfg, o, d, ior_in, depth, need_inv, stream, path):
+def _node(consts, cfg, o, d, ior_in, depth, need_inv, stream, path,
+          skymap=None):
     """One Whitted node, recursing statically into its children.
-    Returns [3] color block components (already bg-on-miss)."""
+    Returns ([3] color block components (already bg-on-miss),
+    sky entries [(first_row, w3, d3), ...] — empty unless deferred-sky)."""
     lvl = depth - 1
     quad, inv = _quad_inv(o, d, need_inv)
     t, hit, n, mat = _closest(consts, o, d, quad, inv)
@@ -393,6 +437,17 @@ def _node(consts, cfg, o, d, ior_in, depth, need_inv, stream, path):
     local = _direct_light(consts, cfg, o, d, hp, precise, n, mat, hit,
                           need_inv, stream, (lvl, path))
 
+    # deferred-sky: misses shade black in-kernel; this node's miss weight +
+    # ray direction go to the epilogue's cubemap lookup (module doc)
+    sky = []
+    if skymap is not None:
+        miss_w = jnp.where(hit, 0.0, 1.0)
+        sky.append((skymap[(lvl, path)], [miss_w, miss_w, miss_w],
+                    (d[0], d[1], d[2])))
+        bg = (0.0, 0.0, 0.0)
+    else:
+        bg = consts.bg
+
     leaf = depth >= cfg.max_depth
     spawn_refl = (not leaf) and consts.has_refl
     spawn_refr = (not leaf) and consts.has_refr
@@ -401,8 +456,8 @@ def _node(consts, cfg, o, d, ior_in, depth, need_inv, stream, path):
         out = []
         for ax in range(3):
             c = jnp.clip(local[ax], 0.0, 1.0) if leaf else local[ax]
-            out.append(jnp.where(hit, c, consts.bg[ax]))
-        return out
+            out.append(jnp.where(hit, c, bg[ax]))
+        return out, sky
 
     branch = 2 if (consts.has_refl and consts.has_refr) else 1
 
@@ -413,7 +468,7 @@ def _node(consts, cfg, o, d, ior_in, depth, need_inv, stream, path):
     nf = tuple(n[ax] * sgn for ax in range(3))
     dnf = ddn * sgn
 
-    color = [jnp.where(hit, local[ax], consts.bg[ax]) for ax in range(3)]
+    color = [jnp.where(hit, local[ax], bg[ax]) for ax in range(3)]
 
     # Fresnel KR (main.cpp:699-717) and refraction setup; the parity-mode
     # switches (RenderConfig.fresnel_mode / refraction_mode) bake as
@@ -484,76 +539,98 @@ def _node(consts, cfg, o, d, ior_in, depth, need_inv, stream, path):
             rx = jnp.where(keep, fx, rx)
             ry = jnp.where(keep, fy, ry)
             rz = jnp.where(keep, fz, rz)
-        refl_col = _node(consts, cfg, precise, (rx, ry, rz),
-                         ior_in, depth + 1, need_inv, stream, path * branch)
+        refl_col, refl_sky = _node(consts, cfg, precise, (rx, ry, rz),
+                                   ior_in, depth + 1, need_inv, stream,
+                                   path * branch, skymap)
         w = hit & (mat["ks"] > 0.0)
         for ax in range(3):
             color[ax] = color[ax] + jnp.where(
                 w, refl_col[ax] * kr * mat["spec"][ax], 0.0)
+        # fold this node's branch factor into the child's sky weights
+        for row, sw, sd in refl_sky:
+            sky.append((row,
+                        [jnp.where(w, sw[ax] * kr * mat["spec"][ax], 0.0)
+                         for ax in range(3)], sd))
 
     if spawn_refr:
         ro = tuple(hp[ax] + (rdx, rdy, rdz)[ax] * 0.001 for ax in range(3))
-        refr_col = _node(consts, cfg, ro, (rdx, rdy, rdz),
-                         new_ior, depth + 1, need_inv, stream,
-                         path * branch + (1 if branch == 2 else 0))
+        refr_col, refr_sky = _node(consts, cfg, ro, (rdx, rdy, rdz),
+                                   new_ior, depth + 1, need_inv, stream,
+                                   path * branch + (1 if branch == 2 else 0),
+                                   skymap)
         for ax in range(3):
             color[ax] = color[ax] + jnp.where(
                 refr_active, refr_col[ax] * (1.0 - kr), 0.0)
+        for row, sw, sd in refr_sky:
+            sky.append((row,
+                        [jnp.where(refr_active, sw[ax] * (1.0 - kr), 0.0)
+                         for ax in range(3)], sd))
 
-    return color
+    return color, sky
 
 
 def _build_kernel(consts: _SceneConsts, cfg):
     need_inv = any(ob["ptype"] == C.AABOX for ob in consts.objs)
     n_rows, rowmap = _stream_layout(consts, cfg)
+    n_sky, skymap = _sky_layout(consts, cfg)
 
-    if n_rows == 0:
-        def kernel(ox, oy, oz, dx, dy, dz, r_out, g_out, b_out):
-            o = (ox[:], oy[:], oz[:])
-            d = (dx[:], dy[:], dz[:])
-            col = _node(consts, cfg, o, d, jnp.ones_like(o[0]), 1, need_inv,
-                        None, 0)
+    def kernel(*refs):
+        i = 0
+        ox, oy, oz, dx, dy, dz = refs[0:6]
+        i = 6
+        uni = None
+        if n_rows:
+            uni = refs[i]
+            i += 1
+        r_out, g_out, b_out = refs[i:i + 3]
+        sky_out = refs[i + 3] if n_sky else None
+
+        o = (ox[:], oy[:], oz[:])
+        d = (dx[:], dy[:], dz[:])
+        stream = ((lambda r: uni[r]), rowmap) if n_rows else None
+        col, sky = _node(consts, cfg, o, d, jnp.ones_like(o[0]), 1,
+                         need_inv, stream, 0, skymap if n_sky else None)
+        if n_sky:
+            for row, sw, sd in sky:
+                for ax in range(3):
+                    sky_out[row + ax] = sw[ax]
+                    sky_out[row + 3 + ax] = sd[ax]
+            # UNclamped: the epilogue adds the sky terms, then clamps
+            r_out[:] = col[0]
+            g_out[:] = col[1]
+            b_out[:] = col[2]
+        else:
             r_out[:] = jnp.clip(col[0], 0.0, 1.0)
             g_out[:] = jnp.clip(col[1], 0.0, 1.0)
             b_out[:] = jnp.clip(col[2], 0.0, 1.0)
-    else:
-        def kernel(ox, oy, oz, dx, dy, dz, uni, r_out, g_out, b_out):
-            o = (ox[:], oy[:], oz[:])
-            d = (dx[:], dy[:], dz[:])
 
-            def u_row(r):
-                return uni[r]
-
-            col = _node(consts, cfg, o, d, jnp.ones_like(o[0]), 1, need_inv,
-                        (u_row, rowmap), 0)
-            r_out[:] = jnp.clip(col[0], 0.0, 1.0)
-            g_out[:] = jnp.clip(col[1], 0.0, 1.0)
-            b_out[:] = jnp.clip(col[2], 0.0, 1.0)
-
-    return kernel, n_rows
+    return kernel, n_rows, n_sky
 
 
 def supports(scene, cfg) -> bool:
     """Configs/scenes the baked megakernel can serve (see module doc):
-    everything except skybox-on-miss, up to BAKE_MAX_PRIMS primitives."""
-    return (scene.n_objects <= BAKE_MAX_PRIMS
-            and not (cfg.use_skybox and scene.has_skybox))
+    every RenderConfig — skybox-on-miss included (deferred-sky scheme) — up
+    to BAKE_MAX_PRIMS primitives."""
+    return scene.n_objects <= BAKE_MAX_PRIMS
 
 
 @functools.lru_cache(maxsize=8)
 def _trace_fn_cached(consts_key, cfg, interpret):
     consts, = consts_key  # unwrap the singleton holder
 
-    kernel, n_rows = _build_kernel(consts, cfg)
+    kernel, n_rows, n_sky = _build_kernel(consts, cfg)
     spec = pl.BlockSpec((SUB, LANE), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
     uspec = pl.BlockSpec((max(n_rows, 1), SUB, LANE), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM)
+    skyspec = pl.BlockSpec((max(n_sky, 1), SUB, LANE), lambda i: (0, i, 0),
+                           memory_space=pltpu.VMEM)
 
     @jax.jit
-    def trace(o, d, uni=None):
+    def trace(o, d, uni=None, skybox=None):
         """o, d: [R,3]; uni: [n_rows, R] streamed sample values (only when
-        the (scene, cfg) has stochastic features — see _stream_layout)."""
+        the (scene, cfg) has stochastic features — see _stream_layout);
+        skybox: [6, H, W, 3] cubemap (only in deferred-sky mode)."""
         R = o.shape[0]
         pad = (-R) % (SUB * LANE)
         if pad:
@@ -568,19 +645,35 @@ def _trace_fn_cached(consts_key, cfg, interpret):
         cols = [a.reshape(rows, LANE) for a in
                 (o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2])]
         extra = [uni.reshape(n_rows, rows, LANE)] if n_rows else []
+        out_shape = [jax.ShapeDtypeStruct((rows, LANE), jnp.float32)
+                     for _ in range(3)]
+        out_specs = [spec, spec, spec]
+        if n_sky:
+            out_shape.append(
+                jax.ShapeDtypeStruct((n_sky, rows, LANE), jnp.float32))
+            out_specs.append(skyspec)
         outs = pl.pallas_call(
             kernel,
             grid=(rows // SUB,),
             in_specs=[spec] * 6 + ([uspec] if n_rows else []),
-            out_specs=(spec, spec, spec),
-            out_shape=tuple(
-                jax.ShapeDtypeStruct((rows, LANE), jnp.float32)
-                for _ in range(3)),
+            out_specs=tuple(out_specs),
+            out_shape=tuple(out_shape),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
         )(*cols, *extra)
-        color = jnp.stack([a.reshape(-1) for a in outs], -1)
+        color = jnp.stack([a.reshape(-1) for a in outs[:3]], -1)
+        if n_sky:
+            # deferred-sky epilogue (module doc): one batched cubemap gather
+            # over every node's recorded miss direction, weighted add, clamp
+            from ..ops.shade import skybox_color
+
+            sk = outs[3].reshape(n_sky // 6, 6, rows * LANE)
+            w = sk[:, 0:3].transpose(0, 2, 1)            # [E, Rpad, 3]
+            dv = sk[:, 3:6].transpose(0, 2, 1)           # [E, Rpad, 3]
+            rgb = skybox_color(skybox, dv.reshape(-1, 3))
+            color = color + (w * rgb.reshape(w.shape)).sum(axis=0)
+            color = jnp.clip(color, 0.0, 1.0)
         return color[:R]
 
     return trace
@@ -672,7 +765,7 @@ def _consts_token(consts: _SceneConsts) -> tuple:
                        ob["kd"], ob["ks"], ob["shine"], ob["transmit"],
                        ob["ior"])).encode())
     h.update(repr((consts.lights, consts.bg, consts.has_refl,
-                   consts.has_refr)).encode())
+                   consts.has_refr, consts.has_sky)).encode())
     return (h.hexdigest(),)
 
 
@@ -706,16 +799,19 @@ def make_render_tile(scene, cfg, interpret: bool = False):
                              interpret)
     n_rows, _ = _stream_layout(consts, cfg)
     camera = scene.camera
+    # the cubemap rides as an explicit jit argument (NOT a closure capture:
+    # a captured 288 MB device array would lower as an XLA constant)
+    sky_operand = scene.skybox if _sky_on(consts, cfg) else None
 
-    def _trace(rays, ktrace, offsets):
+    def _trace(rays, ktrace, offsets, skybox):
         if n_rows:
             uni = _draw_stream(consts, cfg, rays.origin.shape[0], ktrace,
                                offsets)
-            return trace(rays.origin, rays.direction, uni)
-        return trace(rays.origin, rays.direction)
+            return trace(rays.origin, rays.direction, uni, skybox)
+        return trace(rays.origin, rays.direction, None, skybox)
 
     @jax.jit
-    def tile(px, py, key):
+    def tile_inner(px, py, key, skybox):
         if not cfg.anti_aliasing:
             # same 3-way split as the sweep's render_tile so kcam/ktrace
             # (DoF lens draws, stream chain) are IDENTICAL to the sweep's
@@ -723,7 +819,7 @@ def make_render_tile(scene, cfg, interpret: bool = False):
             rays = primary_rays(camera, px + 0.5, py + 0.5, kcam,
                                 depth_of_field=cfg.depth_of_field,
                                 motion_blur=cfg.motion_blur)
-            return _trace(rays, ktrace, None)
+            return _trace(rays, ktrace, None, skybox)
 
         spp = max(cfg.spp, 1)
         R = px.shape[0]
@@ -742,11 +838,14 @@ def make_render_tile(scene, cfg, interpret: bool = False):
                                 motion_blur=cfg.motion_blur)
             # (i, j) are the reference's global subpixel indices feeding
             # the jittered soft-shadow offsets (main.cpp:779-780)
-            return acc + _trace(rays, ktrace, (i, j)), None
+            return acc + _trace(rays, ktrace, (i, j), skybox), None
 
         acc, _ = jax.lax.scan(body, jnp.zeros((R, 3), jnp.float32),
                               (ij, keys))
         denom = 16.0 if cfg.reference_aa_div16 else float(spp * spp)
         return acc / denom
+
+    def tile(px, py, key):
+        return tile_inner(px, py, key, sky_operand)
 
     return tile
