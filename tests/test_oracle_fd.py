@@ -100,3 +100,88 @@ def test_oracle_fd_through_secondary_rays():
         ("ks", 1, 0),          # mirror strength feeds the KR fold
         ("spec_color", 1, 0),
     ], eps=4e-3, rtol=0.12)
+
+
+# ---------------------------------------------------------------------------
+# geometry parameters (north star: "gradients flow through ... intersection
+# barycentrics"): sphere center/radius, triangle vertex — jax.grad through
+# core.build.with_prim_params vs oracle central differences.
+
+
+def _tri_renormal(p):
+    """Re-derive the stored flat normal after an edge perturbation, exactly
+    like with_prim_params / the reference ctor (scene.cpp:10-40)."""
+    n = np.cross(p[3:6], p[6:9])
+    nn = np.linalg.norm(n)
+    p[9:12] = n / nn if nn > 0 else 0.0
+    return p
+
+
+def _oracle_fd_geom(sd, cfg, obj_idx, col, eps):
+    import copy
+
+    def at(delta):
+        sd2 = copy.deepcopy(sd)
+        p = sd2.objects[obj_idx].params.astype(np.float64).copy()
+        p[col] += delta
+        if sd2.objects[obj_idx].ptype == 1:  # TRIANGLE
+            p = _tri_renormal(p)
+        sd2.objects[obj_idx].params = p.astype(np.float32)
+        return _oracle_loss(sd2, cfg)
+
+    return (at(eps) - at(-eps)) / (2 * eps)
+
+
+def _jax_grad_geom(scene, cfg, obj_idx, col):
+    from u_4a_2s_p3d_raytracer_template2_tpu.core.build import (
+        with_prim_params,
+    )
+
+    ys, xs = jnp.meshgrid(jnp.arange(RES, dtype=jnp.float32),
+                          jnp.arange(RES, dtype=jnp.float32), indexing="ij")
+    px = xs.reshape(-1)
+    py = ys.reshape(-1)
+    key = jax.random.PRNGKey(0)
+
+    def loss(v):
+        params = scene.prims.params.at[obj_idx, col].set(v)
+        s = with_prim_params(scene, params)
+        img = render_tile(s, px, py, cfg, key)
+        return jnp.mean(img)
+
+    return float(jax.grad(loss)(scene.prims.params[obj_idx, col]))
+
+
+def _check_geom(sd, cfg, cases, eps=1e-3, rtol=0.15, atol=5e-4):
+    scene = rt.build_scene(sd)
+    for obj_idx, col in cases:
+        fd = _oracle_fd_geom(sd, cfg, obj_idx, col, eps)
+        analytic = _jax_grad_geom(scene, cfg, obj_idx, col)
+        assert np.isfinite(fd) and np.isfinite(analytic)
+        tol = atol + rtol * max(abs(fd), abs(analytic))
+        assert abs(fd - analytic) <= tol, (
+            f"geom obj {obj_idx} col {col}: jax.grad {analytic:.6g} "
+            f"vs oracle FD {fd:.6g}")
+
+
+def test_oracle_fd_sphere_geometry():
+    """Sphere center (x, z) and radius of the diffuse sphere: gradients
+    through the quadratic's t and the hit-point normal."""
+    sd = sphere_plane_scene(res=RES)
+    # sphere is object 0: params = (cx, cy, cz, r)
+    _check_geom(sd, rt.RenderConfig(), [(0, 0), (0, 2), (0, 3)])
+
+
+def test_oracle_fd_triangle_vertex():
+    """Triangle v0 translation and an e1 edge component (normal re-derived
+    on both sides) through the full secondary-ray tree."""
+    sd = mixed_scene(res=RES)
+    # object 3 is the triangle: params = (v0, e1, e2, normal)
+    _check_geom(sd, rt.RenderConfig(), [(3, 0), (3, 4)], eps=2e-3)
+
+
+def test_oracle_fd_sphere_geometry_secondary():
+    """Mirror-sphere center: the geometry gradient must survive the
+    reflection subtree (hit point feeds the child ray origin)."""
+    sd = mixed_scene(res=RES)
+    _check_geom(sd, rt.RenderConfig(), [(1, 0), (1, 3)], eps=2e-3)

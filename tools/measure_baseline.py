@@ -65,6 +65,14 @@ CASES = [
     # 96² x3: the 48²x1 anchor carried ~±20% run-to-run error — one digit
     # of precision on the bench's vs_baseline (VERDICT r2 weak #5)
     ("dragon.p3f", 96, 3),
+    # distribution-mode scenes (spp 4 ⇒ 16 AA+DoF samples/pixel in the
+    # reference, main.cpp:939-946): the anchor measures the PER-RAY rate
+    # pinhole-style — each AA sample is one primary + n_lights shadow rays,
+    # so Mrays/s is sample-count invariant to first order (the lens/jitter
+    # draws and the skybox texel fetch it omits both favor the anchor).
+    ("balls_low.p3f", None, 3),
+    ("dof.p3f", None, 3),
+    ("mount_high.p3f", 128, 3),
 ]
 
 

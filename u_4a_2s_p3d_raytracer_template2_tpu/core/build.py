@@ -188,3 +188,49 @@ def load_scene(path: str, **kw) -> Scene:
     from ..io.p3f import parse_p3f
 
     return build_scene(parse_p3f(path), **kw)
+
+
+def with_prim_params(scene: Scene, params) -> Scene:
+    """Differentiably swap the unified primitive table and rebuild every
+    derived per-type view inside a jit — the geometry half of inverse
+    rendering (north star: "gradients flow through intersection
+    barycentrics").
+
+    * Triangle normal rows (params[:, 9:12]) are RE-DERIVED from (e1, e2)
+      exactly like the reference ctor (scene.cpp:10-40: normalized cross),
+      so optimizing vertices keeps the flat-shading normal consistent and
+      normal gradients flow back to the vertices.
+    * The per-type tables (tri_p/sph_p/pl_p/box_p), sphere |c|²-r²
+      constants, and Baldwin–Weber functionals are regenerated with jnp ops.
+    * Host-built accel tables (BVH/grid/clusters/packets) keep their
+      STRUCTURE — the tree topology is a discrete build product; for the
+      small displacements of a fit step the traversal stays conservative
+      enough in practice, and they are refreshed on the next host rebuild.
+    """
+    import dataclasses
+
+    from ..core.types import normalize
+    from ..ops.mxu_intersect import triangle_functionals_jnp
+
+    prims = scene.prims
+    params = jnp.asarray(params, jnp.float32)
+    is_tri = (prims.ptype == C.TRIANGLE)[:, None]
+    tri_n = normalize(jnp.cross(params[:, 3:6], params[:, 6:9]))
+    params = jnp.where(is_tri,
+                        jnp.concatenate([params[:, 0:9], tri_n], -1),
+                        params)
+
+    def view(ids, width):
+        rows = params[jnp.maximum(ids, 0), :width]
+        return jnp.where((ids >= 0)[:, None], rows, 0.0)
+
+    tri_p = view(prims.tri_ids, 12)
+    sph_p = view(prims.sph_ids, 4)
+    pl_p = view(prims.pl_ids, 4)
+    box_p = view(prims.box_ids, 6)
+    sph_k = jnp.sum(sph_p[:, 0:3] ** 2, -1) - sph_p[:, 3] ** 2
+    tri_mo, tri_md = triangle_functionals_jnp(tri_p)
+    new_prims = dataclasses.replace(
+        prims, params=params, tri_p=tri_p, sph_p=sph_p, pl_p=pl_p,
+        box_p=box_p, sph_k=sph_k, tri_mo=tri_mo, tri_md=tri_md)
+    return dataclasses.replace(scene, prims=new_prims)

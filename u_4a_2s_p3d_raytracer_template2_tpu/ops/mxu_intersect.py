@@ -65,6 +65,35 @@ def triangle_functionals(tri_p: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
             md.reshape(3 * kt, 3).astype(np.float32))
 
 
+def triangle_functionals_jnp(tri_p):
+    """jnp twin of :func:`triangle_functionals` (f32, traceable) so the
+    Baldwin–Weber tables can be rebuilt DIFFERENTIABLY from updated
+    geometry inside a jit (core/build.with_prim_params — geometry-parameter
+    inverse rendering). Used only for table refresh; gradients to shading
+    flow through ops/intersect.per_ray_t, not these tables."""
+    v0 = tri_p[:, 0:3]
+    e1 = tri_p[:, 3:6]
+    e2 = tri_p[:, 6:9]
+    n = jnp.cross(e1, e2)
+    n2 = jnp.sum(n * n, -1)
+    ok = n2 > 0
+    safe = jnp.where(ok, n2, 1.0)
+    U = jnp.cross(e2, n) / safe[:, None]
+    V = jnp.cross(n, e1) / safe[:, None]
+    okc = ok[:, None]
+    n = jnp.where(okc, n, 0.0)
+    U = jnp.where(okc, U, 0.0)
+    V = jnp.where(okc, V, 0.0)
+    mo = jnp.stack([
+        jnp.concatenate([n, -jnp.sum(n * v0, -1, keepdims=True)], -1),
+        jnp.concatenate([U, -jnp.sum(U * v0, -1, keepdims=True)], -1),
+        jnp.concatenate([V, -jnp.sum(V * v0, -1, keepdims=True)], -1),
+    ], axis=1)
+    md = jnp.stack([n, U, V], axis=1)
+    kt = tri_p.shape[0]
+    return mo.reshape(3 * kt, 4), md.reshape(3 * kt, 3)
+
+
 # ---------------------------------------------------------------------------
 # runtime kernels: [R, K] hit-t maps, BIG on miss
 

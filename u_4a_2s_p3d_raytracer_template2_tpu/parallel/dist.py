@@ -173,13 +173,20 @@ from ..core.types import pytree
 class FitParams:
     """Every differentiable scene parameter group. Camera is parameterized
     by (eye, focal_ratio); the uvn frame is re-derived differentiably from
-    the eye inside _apply_params (SetEye semantics, camera.h:80-89)."""
+    the eye inside _apply_params (SetEye semantics, camera.h:80-89).
+    ``prim_params`` is the unified [N, 12] geometry table — sphere
+    center/radius, triangle vertices (as v0/e1/e2; the flat normal is
+    re-derived), plane/box parameters — applied via
+    core.build.with_prim_params so every derived view refreshes
+    differentiably (north star: gradients through intersection
+    barycentrics)."""
 
     materials: "object"        # core.types.Materials
     light_pos: jnp.ndarray     # [L, 3]
     light_color: jnp.ndarray   # [L, 3]
     cam_eye: jnp.ndarray       # [3]
     cam_focal: jnp.ndarray     # []
+    prim_params: jnp.ndarray   # [N, 12]
 
 
 def params_of(scene: Scene) -> FitParams:
@@ -189,18 +196,21 @@ def params_of(scene: Scene) -> FitParams:
         light_color=scene.lights.color,
         cam_eye=scene.camera.eye,
         cam_focal=scene.camera.focal_ratio,
+        prim_params=scene.prims.params,
     )
 
 
 def _apply_params(scene: Scene, p: FitParams) -> Scene:
+    from ..core.build import with_prim_params
     from ..ops.camera import with_eye
 
     lights = dataclasses.replace(scene.lights, position=p.light_pos,
                                  color=p.light_color)
     cam = with_eye(scene.camera, p.cam_eye)
     cam = dataclasses.replace(cam, focal_ratio=p.cam_focal)
-    return dataclasses.replace(scene, materials=p.materials, lights=lights,
-                               camera=cam)
+    scene = dataclasses.replace(scene, materials=p.materials, lights=lights,
+                                camera=cam)
+    return with_prim_params(scene, p.prim_params)
 
 
 def _project_materials(m):
@@ -217,7 +227,8 @@ def _project_materials(m):
 
 
 def lr_scales(materials: float = 1.0, light_pos: float = 1.0,
-              light_color: float = 1.0, camera: float = 1.0) -> FitParams:
+              light_color: float = 1.0, camera: float = 1.0,
+              geometry: float = 1.0) -> FitParams:
     """Per-group learning-rate multipliers for train_step_full. Parameter
     groups live on very different scales (colors in [0,1], light/eye
     positions in world units), so a single lr cannot fit them jointly.
@@ -228,6 +239,7 @@ def lr_scales(materials: float = 1.0, light_pos: float = 1.0,
                                _EMPTY_MAT_TEMPLATE),
         light_pos=f32(light_pos), light_color=f32(light_color),
         cam_eye=f32(camera), cam_focal=f32(camera),
+        prim_params=f32(geometry),
     )
 
 
@@ -283,10 +295,19 @@ def train_step_full(scene: Scene, target, cfg: RenderConfig, mesh: Mesh,
     grads = jax.tree.map(lambda g: g[0], grads)
     new = jax.tree.map(lambda p, g, s: p - lr * s * g,
                        params_of(scene), grads, scales)
+    # geometry projection: sphere radii must stay positive (a zero/negative
+    # radius makes the quadratic degenerate)
+    from ..core import constants as C
+
+    is_sph = scene.prims.ptype == C.SPHERE
+    pp = new.prim_params
+    r_safe = jnp.maximum(pp[:, 3], 1e-3)
+    pp = pp.at[:, 3].set(jnp.where(is_sph, r_safe, pp[:, 3]))
     new = dataclasses.replace(
         new,
         materials=_project_materials(new.materials),
         cam_focal=jnp.maximum(new.cam_focal, 0.05),
+        prim_params=pp,
     )
     return _apply_params(scene, new), loss
 
