@@ -40,6 +40,15 @@ CPU_ANCHOR_MRAYS = {
     "balls_medium": 3.66,
     "balls_high": 0.040,
     "dragon": 0.0015,
+    # distribution-mode scenes (spp 4 => 16 AA+DoF samples/pixel): the
+    # anchor is the PER-RAY rate measured pinhole-style on the same scene
+    # (each AA sample = 1 primary + n_lights shadow rays, so the rate is
+    # sample-count-invariant to first order; the skybox fetch the anchor
+    # omits favors the anchor). Conservative maxima over 2x3 runs
+    # (2026-08-20, see BASELINE.md).
+    "balls_low": 9.0,
+    "dof": 18.2,
+    "mount_high": 0.0434,
 }
 # Measured single-core anchor for the GLSL path tracer (tools/baseline_pt.cpp
 # via tools/measure_baseline_pt.py, 128^2 sub-raster x 8 spp, 2026-08-20):
@@ -74,21 +83,50 @@ def _bench_scene(rt, scene, cfg, label, res_x, res_y, n_lights, frame_time,
     py = jnp.asarray(ys.reshape(-1))
     px = jnp.asarray(xs.reshape(-1))
 
-    def render_scalar(i):
-        # sub-pixel drift by loop index: every frame is distinct work, the
-        # scalar fold makes each frame's completion observable
-        x = px + 0.37 * i.astype(jnp.float32)
-        if tile_fn is not None:
-            return tile_fn(x, py, key).sum()
-        return render_tile(scene, x, py, cfg, key).sum()
+    from u_4a_2s_p3d_raytracer_template2_tpu.utils.timing import loop_time
 
-    dt = frame_time(render_scalar, n_lo=2, n_hi=n_hi, reps=3)
+    has_sky_operand = (tile_fn is not None
+                      and getattr(tile_fn, "sky_operand", None) is not None)
+    if has_sky_operand:
+        # skybox scenes: the 288 MB cubemap must ride the loop CARRY — a
+        # closure capture becomes an XLA constant and the remote-compile
+        # tunnel rejects the payload (HTTP 413)
+        def step(i, carry):
+            acc, sky = carry
+            x = px + 0.37 * i.astype(jnp.float32)
+            return acc + tile_fn.inner(x, py, key, sky).sum(), sky
+
+        dt = loop_time(step, (jnp.float32(0.0), scene.skybox),
+                       n_lo=2, n_hi=n_hi, reps=3)
+    elif tile_fn is None and cfg.use_skybox and scene.has_skybox:
+        # non-baked engine + skybox: thread the whole scene through the
+        # carry for the same reason
+        def step(i, carry):
+            acc, s = carry
+            x = px + 0.37 * i.astype(jnp.float32)
+            return acc + render_tile(s, x, py, cfg, key).sum(), s
+
+        dt = loop_time(step, (jnp.float32(0.0), scene),
+                       n_lo=2, n_hi=n_hi, reps=3)
+    else:
+        def render_scalar(i):
+            # sub-pixel drift by loop index: every frame is distinct work,
+            # the scalar fold makes each frame's completion observable
+            x = px + 0.37 * i.astype(jnp.float32)
+            if tile_fn is not None:
+                return tile_fn(x, py, key).sum()
+            return render_tile(scene, x, py, cfg, key).sum()
+
+        dt = frame_time(render_scalar, n_lo=2, n_hi=n_hi, reps=3)
 
     # ray accounting (BASELINE.md): primary + per-light shadow at the top
     # level; secondary levels add reflect/refract + their shadow rays. We
     # report the *minimum* convention (primary + top-level shadow) so the
-    # number is comparable and conservative.
-    rays = res_x * res_y * (1 + n_lights)
+    # number is comparable and conservative. Distribution mode traces
+    # spp*spp jittered AA samples per pixel — each is a primary+shadow set
+    # (main.cpp:777-798), so they multiply the ray count.
+    samples = cfg.spp * cfg.spp if cfg.anti_aliasing else 1
+    rays = res_x * res_y * samples * (1 + n_lights)
     mrays = rays / dt / 1e6
     anchor = CPU_ANCHOR_MRAYS.get(label) or _DEFAULT_ANCHOR
     return {
@@ -123,16 +161,26 @@ def main():
     # balls_high 2.8x the Pallas brute path (84 vs 234 ms at 256²,
     # tools/bench_packets.py). balls_medium (91 spheres) fits the raised
     # megakernel bake ceiling.
-    for name, label, accel, engine, n_hi in (
-            ("balls_medium.p3f", "balls_medium", None, "megakernel", 30),
-            ("balls_high.p3f", "balls_high", 2, "wavefront", 10),
-            ("dragon.p3f", "dragon", 2, "wavefront", 4)):
+    # (scene, label, accel override, engine, n_hi, use_skybox)
+    # balls_low/dof are the reference's distribution-ray-tracing showcase
+    # (spp 4 => 16 jittered AA+DoF samples/pixel, main.cpp:939-946) with
+    # skybox-on-miss — served by the deferred-sky megakernel. mount_high is
+    # the 2k-triangle class on the packet-BVH path with skybox.
+    for name, label, accel, engine, n_hi, sky in (
+            ("balls_medium.p3f", "balls_medium", None, "megakernel", 30,
+             False),
+            ("balls_high.p3f", "balls_high", 2, "wavefront", 10, False),
+            ("dragon.p3f", "dragon", 2, "wavefront", 4, False),
+            ("balls_low.p3f", "balls_low", None, "megakernel", 6, True),
+            ("dof.p3f", "dof", None, "megakernel", 6, True),
+            ("mount_high.p3f", "mount_high", 2, "wavefront", 6, True)):
         path = os.path.join(SCENE_DIR, name)
         if not os.path.exists(path):
             continue
         sd = rt.parse_p3f(path)
         scene = rt.build_scene(sd, accel=accel)
-        cfg = rt.RenderConfig(engine=engine).with_scene_flags(scene)
+        cfg = rt.RenderConfig(engine=engine,
+                              use_skybox=sky).with_scene_flags(scene)
         r = _bench_scene(rt, scene, cfg, label, scene.camera.res_x,
                          scene.camera.res_y, scene.n_lights, frame_time,
                          n_hi=n_hi)

@@ -119,3 +119,48 @@ def test_recover_perturbed_light_position():
     d1 = float(np.linalg.norm(np.asarray(s.lights.position) - true_pos))
     assert losses[-1] < losses[0] * 0.2, losses
     assert d1 < d0 * 0.6, (d0, d1)
+
+
+def test_recover_displaced_sphere_center():
+    """Geometry inverse rendering (FitParams.prim_params): target rendered
+    with the true sphere; start from a displaced center; train_step_full
+    with the geometry group enabled must pull it back (the north star's
+    'gradients flow through intersection barycentrics', end-to-end)."""
+    sd = sphere_plane_scene(res=16)
+    scene = rt.build_scene(sd)
+    cfg = rt.RenderConfig()
+    mesh = default_mesh()
+    from u_4a_2s_p3d_raytracer_template2_tpu.models.whitted import (
+        render_image,
+    )
+
+    target = render_image(scene, cfg)
+    true_params = np.asarray(scene.prims.params)
+
+    delta = np.zeros_like(true_params)
+    delta[0, 0:3] = [0.12, -0.08, 0.1]   # sphere 0 center displaced
+    from u_4a_2s_p3d_raytracer_template2_tpu.core.build import (
+        with_prim_params,
+    )
+
+    s = with_prim_params(scene, jnp.asarray(true_params + delta))
+    # the lr_scales multipliers broadcast, so the geometry group scale can
+    # be a per-row mask — fit ONLY the displaced sphere's row (updating all
+    # rows also drifts the un-perturbed plane, whose silhouette terms the
+    # smooth gradient cannot see)
+    mask = np.zeros((true_params.shape[0], 1), np.float32)
+    mask[0] = 1.0
+    sc = lr_scales(materials=0.0, light_pos=0.0, light_color=0.0,
+                   camera=0.0, geometry=0.0)
+    sc = dataclasses.replace(sc, prim_params=jnp.asarray(mask))
+    d0 = float(np.linalg.norm(np.asarray(s.prims.params)[0, 0:3]
+                              - true_params[0, 0:3]))
+    losses = []
+    for i in range(15):
+        s, loss = train_step_full(s, target, cfg, mesh, 2.0,
+                                  jax.random.PRNGKey(i), sc)
+        losses.append(float(loss))
+    d1 = float(np.linalg.norm(np.asarray(s.prims.params)[0, 0:3]
+                              - true_params[0, 0:3]))
+    assert losses[-1] < losses[0] * 0.2, losses
+    assert d1 < d0 * 0.5, (d0, d1, losses)

@@ -118,3 +118,43 @@ def test_fd_gradient_ior(field, idx):
     scene = rt.build_scene(sd)
     cfg = rt.RenderConfig(refraction_mode="physical")
     _fd_check(scene, cfg, 10, [(field, idx)], eps=1e-3, rtol=0.15)
+
+
+def test_geometry_gradient_finite_on_tangential_hits():
+    """Regression: a discrete-traversal hit whose differentiable
+    re-intersection disagrees (tangential sphere under f32 re-association)
+    used to produce t=BIG -> |hit_point|~1e30 -> inf squares -> 0*inf NaN
+    cotangents that the one-hot gather matmul spread to EVERY prim row.
+    _level_step now falls back to the discrete winner t for such lanes."""
+    import dataclasses
+
+    from u_4a_2s_p3d_raytracer_template2_tpu.core import constants as C
+    from u_4a_2s_p3d_raytracer_template2_tpu.core.build import (
+        with_prim_params,
+    )
+    from u_4a_2s_p3d_raytracer_template2_tpu.models.scenes import (
+        sphere_field_scene,
+    )
+    from u_4a_2s_p3d_raytracer_template2_tpu.models.whitted import render_tile
+
+    sd = sphere_field_scene(res=48)
+    scene = rt.build_scene(sd)
+    tp = np.asarray(scene.prims.params)
+    ptype = np.asarray(scene.prims.ptype)
+    rows = np.nonzero(ptype == C.SPHERE)[0]
+    row = int(rows[np.argmax(tp[rows, 3])])
+    delta = np.zeros_like(tp)
+    delta[row, 0:3] = np.array([0.8, -0.5, 0.6]) * (0.4 * tp[row, 3])
+    newp = jnp.asarray(tp + delta)
+
+    ys, xs = jnp.meshgrid(jnp.arange(48.0), jnp.arange(48.0), indexing="ij")
+    cfg = rt.RenderConfig(max_depth=3)
+
+    def loss(p):
+        s2 = with_prim_params(scene, p)
+        img = render_tile(s2, xs.reshape(-1), ys.reshape(-1), cfg,
+                          jax.random.PRNGKey(0))
+        return jnp.mean(img)
+
+    g = np.asarray(jax.grad(loss)(newp))
+    assert np.isfinite(g).all(), (~np.isfinite(g)).sum()

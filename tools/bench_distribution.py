@@ -28,7 +28,7 @@ def main(names):
     from u_4a_2s_p3d_raytracer_template2_tpu.utils.profiling import (
         enable_compilation_cache,
     )
-    from u_4a_2s_p3d_raytracer_template2_tpu.utils.timing import frame_time
+    from u_4a_2s_p3d_raytracer_template2_tpu.utils.timing import loop_time
 
     enable_compilation_cache()
 
@@ -50,17 +50,25 @@ def main(names):
         py = jnp.asarray(ys.reshape(-1))
         key = jax.random.PRNGKey(0)
 
-        # image sanity before timing: finite, in range, not constant
-        img = np.asarray(tile(px, py, key)).reshape(res_y, res_x, 3)
-        assert np.isfinite(img).all()
-        stats = dict(mean=float(img.mean()), std=float(img.std()),
-                     min=float(img.min()), max=float(img.max()))
+        # image sanity before timing: scalar-only readback (the tunnel's
+        # device->host link is ~20 KB/s — never pull the full frame)
+        img = tile(px, py, key)
+        stats = dict(mean=round(float(img.mean()), 5),
+                     std=round(float(img.std()), 5),
+                     min=round(float(img.min()), 5),
+                     max=round(float(img.max()), 5))
+        assert np.isfinite(list(stats.values())).all(), stats
 
-        def render_scalar(i):
+        # the cubemap rides in the LOOP CARRY (a runtime operand): closing
+        # over it inside the timing jit would embed 288 MB of constants in
+        # the remote-compile payload (HTTP 413 — observed)
+        def step(i, carry):
+            acc, sky = carry
             x = px + 0.37 * i.astype(jnp.float32)
-            return tile(x, py, key).sum()
+            return acc + tile.inner(x, py, key, sky).sum(), sky
 
-        dt = frame_time(render_scalar, n_lo=2, n_hi=8, reps=3)
+        dt = loop_time(step, (jnp.float32(0.0), scene.skybox),
+                       n_lo=2, n_hi=8, reps=3)
         # per-ray convention: each AA sample = 1 primary + n_lights shadow
         rays = res_x * res_y * cfg.spp * cfg.spp * (1 + scene.n_lights)
         print(json.dumps({

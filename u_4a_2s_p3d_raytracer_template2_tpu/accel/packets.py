@@ -54,7 +54,7 @@ OUT_ROWS = 8        # f32 sublane quantum: Mosaic requires output blocks of
 
 
 @pytree(meta=("has_tri", "has_sph", "tri_nn", "sph_nn", "tri_leaf_chunks",
-              "sph_leaf_chunks"))
+              "sph_leaf_chunks", "tri_n_leaves", "sph_n_leaves"))
 class PacketTables:
     # triangles: nodes + leaf-chunk tables (Baldwin-Weber functional rows)
     tri_nbox: jnp.ndarray    # [tri_nn*6] f32 (bmin, bmax per node)
@@ -68,10 +68,21 @@ class PacketTables:
     sph_ids: jnp.ndarray     # [NCs*LANE] i32
     world_min: jnp.ndarray   # [3] f32 — coherence-key bounds
     world_max: jnp.ndarray   # [3] f32
+    # flat leaf tables for the shallow-tree kernels (leaf bbox + first
+    # chunk index per leaf, in build order): a 17-node balls_high-class
+    # treelet wastes the short-stack machinery — the walk is ~2 us/iter
+    # SCALAR-bound while the whole scene is 58 chunk folds; a static
+    # unroll over <=FLAT_MAX_LEAVES leaves has no stack and no pops
+    tri_lbox: jnp.ndarray = None   # [n_leaves*6] f32
+    tri_lbase: jnp.ndarray = None  # [n_leaves] i32 (first chunk of leaf)
+    sph_lbox: jnp.ndarray = None
+    sph_lbase: jnp.ndarray = None
     has_tri: bool = False
     has_sph: bool = False
     tri_nn: int = 2          # node count after padding (≥2 for child reads)
     sph_nn: int = 2
+    tri_n_leaves: int = 0
+    sph_n_leaves: int = 0
     tri_leaf_chunks: int = 1  # 128-prim lane blocks per leaf: a leaf visit
     sph_leaf_chunks: int = 1  # folds this many consecutive chunks, trading
                               # VPU fold work (~0.4 us tri / ~0.2 us sph per
@@ -185,13 +196,23 @@ def build_packets(params: np.ndarray, ptype: np.ndarray,
         if v is None:
             return (jnp.zeros(12, jnp.float32), jnp.zeros(4, jnp.int32),
                     jnp.zeros((1, rows, LANE), jnp.float32),
-                    jnp.full(LANE, -1, jnp.int32), False, 2)
+                    jnp.full(LANE, -1, jnp.int32), False, 2,
+                    jnp.zeros(6, jnp.float32), jnp.zeros(1, jnp.int32), 0)
         nb, nm, nn, chunks, cids = v
+        # flat leaf table (build order): leaf nodes' bboxes + first chunk
+        nm2 = np.asarray(nm).reshape(-1, 2)
+        nb2 = np.asarray(nb).reshape(-1, 6)
+        leaf_rows = np.nonzero(nm2[:, 1] == 1)[0]
+        lbox = nb2[leaf_rows].reshape(-1).astype(np.float32)
+        lbase = (nm2[leaf_rows, 0] * leaf_chunks[name]).astype(np.int32)
         return (jnp.asarray(nb), jnp.asarray(nm), jnp.asarray(chunks),
-                jnp.asarray(cids), True, nn)
+                jnp.asarray(cids), True, nn,
+                jnp.asarray(lbox), jnp.asarray(lbase), len(leaf_rows))
 
-    t_nb, t_nm, t_ch, t_id, has_tri, t_nn = unpack("tri", 16)
-    s_nb, s_nm, s_ch, s_id, has_sph, s_nn = unpack("sph", 8)
+    t_nb, t_nm, t_ch, t_id, has_tri, t_nn, t_lb, t_lba, t_nl = \
+        unpack("tri", 16)
+    s_nb, s_nm, s_ch, s_id, has_sph, s_nn, s_lb, s_lba, s_nl = \
+        unpack("sph", 8)
     if not np.isfinite(wmin).all():
         wmin = np.zeros(3, np.float32)
         wmax = np.ones(3, np.float32)
@@ -200,7 +221,9 @@ def build_packets(params: np.ndarray, ptype: np.ndarray,
         sph_nbox=s_nb, sph_nmeta=s_nm, sph_chunks=s_ch, sph_ids=s_id,
         world_min=jnp.asarray(wmin.astype(np.float32)),
         world_max=jnp.asarray(wmax.astype(np.float32)),
+        tri_lbox=t_lb, tri_lbase=t_lba, sph_lbox=s_lb, sph_lbase=s_lba,
         has_tri=has_tri, has_sph=has_sph, tri_nn=t_nn, sph_nn=s_nn,
+        tri_n_leaves=t_nl, sph_n_leaves=s_nl,
         tri_leaf_chunks=leaf_chunks["tri"],
         sph_leaf_chunks=leaf_chunks["sph"],
     )
@@ -512,6 +535,71 @@ def _make_any_kernel(kind: str, pack: int, max_t: float,
     return kernel
 
 
+# Shallow trees run the FLAT kernels: the short-stack walk costs ~2 us per
+# scalar iteration (SMEM node reads, stack ops, pop passes) — on a 17-node
+# balls_high-class treelet that overhead dwarfs the ~0.2 us/chunk VPU fold.
+# The flat form statically unrolls over the leaves: one slab test + a
+# guarded chunk fold per leaf, no stack, no ordered descent (per-ray
+# entry<=t_best culling still applies; with this few leaves ordering buys
+# nothing). Measured on balls_high 512² (v5e): incoherent closest 43.3 ->
+# 23.0 ms, primary closest 23.0 -> 10.3 ms, anyhit 5.0 -> 2.9 ms.
+FLAT_MAX_LEAVES = 16
+
+
+def _make_flat_closest_kernel(kind: str, pack: int, leaf_chunks: int,
+                              n_leaves: int):
+    fold = _FOLDS[kind]
+
+    def kernel(lbox_ref, lbase_ref, chunks_ref, om_ref, dm_ref,
+               t_ref, pos_ref, ts_ref, ps_ref, tb_ref):
+        om = om_ref[:]
+        dm = dm_ref[:]
+        cols = (om[:, 0:1], om[:, 1:2], om[:, 2:3],
+                dm[:, 0:1], dm[:, 1:2], dm[:, 2:3])
+        quad = (om[:, 3:4], om[:, 4:5], om[:, 5:6], om[:, 6:7])
+        valid = om[:, 7:8]
+        ivx, ivy, ivz = _sinv(cols[3]), _sinv(cols[4]), _sinv(cols[5])
+        iota = jax.lax.broadcasted_iota(
+            jnp.int32, (pack, LANE), 1).astype(jnp.float32)
+
+        ts_ref[:] = jnp.broadcast_to(
+            jnp.where(valid > 0.5, C.BIG, -C.BIG), (pack, LANE))
+        ps_ref[:] = jnp.full((pack, LANE), -1.0, jnp.float32)
+        tb_ref[:] = jnp.where(valid > 0.5, C.BIG, -C.BIG)
+
+        for li in range(n_leaves):
+            base6 = 6 * li
+            lox = (lbox_ref[base6] - cols[0]) * ivx
+            hix = (lbox_ref[base6 + 3] - cols[0]) * ivx
+            loy = (lbox_ref[base6 + 1] - cols[1]) * ivy
+            hiy = (lbox_ref[base6 + 4] - cols[1]) * ivy
+            loz = (lbox_ref[base6 + 2] - cols[2]) * ivz
+            hiz = (lbox_ref[base6 + 5] - cols[2]) * ivz
+            tn = jnp.maximum(jnp.maximum(jnp.minimum(lox, hix),
+                                         jnp.minimum(loy, hiy)),
+                             jnp.minimum(loz, hiz))
+            tf = jnp.minimum(jnp.minimum(jnp.maximum(lox, hix),
+                                         jnp.maximum(loy, hiy)),
+                             jnp.maximum(loz, hiz))
+            use = (tn <= tf) & (tf > 0.0) & (tn <= tb_ref[:])
+
+            @pl.when(jnp.max(jnp.where(use, 1.0, 0.0)) > 0.0)
+            def _(li=li):
+                base = lbase_ref[li]
+                for j in range(leaf_chunks):
+                    t = fold(chunks_ref[base + j], cols, quad)
+                    ppos = iota + (base + j).astype(jnp.float32) * float(LANE)
+                    better = t < ts_ref[:]
+                    ps_ref[:] = jnp.where(better, ppos, ps_ref[:])
+                    ts_ref[:] = jnp.where(better, t, ts_ref[:])
+                    tb_ref[:] = jnp.minimum(
+                        tb_ref[:], jnp.min(t, axis=-1, keepdims=True))
+
+        _store_best(ts_ref[:], ps_ref[:], t_ref, pos_ref, pack)
+
+    return kernel
+
+
 # ---------------------------------------------------------------------------
 # pallas_call wrappers
 
@@ -599,6 +687,45 @@ def _walk_any(kind, nbox, nmeta, chunks, om, dm, pack, max_t, interpret,
     return occ.reshape(n_packs, orows, LANE)[:, :used].reshape(-1)
 
 
+def _walk_closest_flat(kind, lbox, lbase, chunks, om, dm, pack, interpret,
+                       leaf_chunks, n_leaves):
+    R = om.shape[0]
+    n_packs = R // pack
+    orows = _out_rows(pack)
+    t, pos = pl.pallas_call(
+        _make_flat_closest_kernel(kind, pack, leaf_chunks, n_leaves),
+        grid=(n_packs,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            _ray_blocks(pack), _ray_blocks(pack),
+        ],
+        out_specs=(
+            pl.BlockSpec((orows, LANE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((orows, LANE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_packs * orows, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((n_packs * orows, LANE), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((pack, LANE), jnp.float32),
+            pltpu.VMEM((pack, LANE), jnp.float32),
+            pltpu.VMEM((pack, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(lbox, lbase, chunks, om, dm)
+    used = pack // LANE
+    t = t.reshape(n_packs, orows, LANE)[:, :used].reshape(-1)
+    pos = pos.reshape(n_packs, orows, LANE)[:, :used].reshape(-1)
+    return t, pos
+
+
 def _gather_ids(ids, pos):
     pos = pos.astype(jnp.int32)
     safe = jnp.maximum(pos, 0)
@@ -676,22 +803,31 @@ def _packet_closest_hit(pt: PacketTables, prims: Primitives, rays: Rays,
 
     t_best = jnp.full((om.shape[0],), C.BIG, jnp.float32)
     id_best = jnp.full((om.shape[0],), -1, jnp.int32)
+
+    def one_type(kind, carry):
+        t_best, id_best = carry
+        lbox = getattr(pt, f"{kind}_lbox")
+        n_leaves = getattr(pt, f"{kind}_n_leaves")
+        lc = getattr(pt, f"{kind}_leaf_chunks")
+        if 0 < n_leaves <= FLAT_MAX_LEAVES and lbox is not None:
+            t, pos = _walk_closest_flat(
+                kind, lbox, getattr(pt, f"{kind}_lbase"),
+                getattr(pt, f"{kind}_chunks"), om, dm, pack, interpret,
+                lc, n_leaves)
+        else:
+            t, pos = _walk_closest(
+                kind, getattr(pt, f"{kind}_nbox"),
+                getattr(pt, f"{kind}_nmeta"), getattr(pt, f"{kind}_chunks"),
+                om, dm, pack, interpret, lc)
+        pid = _gather_ids(getattr(pt, f"{kind}_ids"), pos)
+        better = t < t_best
+        return (jnp.where(better, t, t_best),
+                jnp.where(better, pid, id_best))
+
     if pt.has_tri:
-        t, pos = _walk_closest("tri", pt.tri_nbox, pt.tri_nmeta,
-                               pt.tri_chunks, om, dm, pack, interpret,
-                               pt.tri_leaf_chunks)
-        pid = _gather_ids(pt.tri_ids, pos)
-        better = t < t_best
-        t_best = jnp.where(better, t, t_best)
-        id_best = jnp.where(better, pid, id_best)
+        t_best, id_best = one_type("tri", (t_best, id_best))
     if pt.has_sph:
-        t, pos = _walk_closest("sph", pt.sph_nbox, pt.sph_nmeta,
-                               pt.sph_chunks, om, dm, pack, interpret,
-                               pt.sph_leaf_chunks)
-        pid = _gather_ids(pt.sph_ids, pos)
-        better = t < t_best
-        t_best = jnp.where(better, t, t_best)
-        id_best = jnp.where(better, pid, id_best)
+        t_best, id_best = one_type("sph", (t_best, id_best))
 
     t_best = t_best[:R]
     id_best = id_best[:R]
@@ -745,14 +881,22 @@ def _packet_any_hit(pt: PacketTables, prims: Primitives, rays: Rays,
     om, dm, R, perm = _sorted_padded(pt, rays, pack, coherence_sort)
 
     occ = jnp.zeros((om.shape[0],), jnp.float32)
+
+    # any-hit stays on the STACK walk at every tree size: its whole-packet
+    # early exit beats the flat unroll on the common coherent shadow loads
+    # (balls_high primary anyhit measured 5.0 ms stack vs 8.1 ms flat; the
+    # flat form must still slab-test every leaf after full occlusion)
+    def one_type(kind, occ):
+        o = _walk_any(kind, getattr(pt, f"{kind}_nbox"),
+                      getattr(pt, f"{kind}_nmeta"),
+                      getattr(pt, f"{kind}_chunks"), om, dm, pack,
+                      max_t, interpret, getattr(pt, f"{kind}_leaf_chunks"))
+        return jnp.maximum(occ, o)
+
     if pt.has_tri:
-        occ = jnp.maximum(occ, _walk_any("tri", pt.tri_nbox, pt.tri_nmeta,
-                                         pt.tri_chunks, om, dm, pack, max_t,
-                                         interpret, pt.tri_leaf_chunks))
+        occ = one_type("tri", occ)
     if pt.has_sph:
-        occ = jnp.maximum(occ, _walk_any("sph", pt.sph_nbox, pt.sph_nmeta,
-                                         pt.sph_chunks, om, dm, pack, max_t,
-                                         interpret, pt.sph_leaf_chunks))
+        occ = one_type("sph", occ)
     occ = occ[:R] > 0.5
     if perm is not None:
         occ = occ[jnp.argsort(perm)]

@@ -152,6 +152,45 @@ def cmd_fit(args):
             print(f"step {i}: loss {float(loss):.6f}")
         return
 
+    if what == "geometry":
+        # geometry inverse rendering (FitParams.prim_params): displace the
+        # first sphere's center, recover it through the intersection
+        # barycentrics (core/build.with_prim_params)
+        from .core import constants as C
+        from .core.build import with_prim_params
+        from .parallel.dist import lr_scales as _lr_scales
+
+        true_params = np.asarray(scene.prims.params)
+        ptype = np.asarray(scene.prims.ptype)
+        sph_rows = np.nonzero(ptype == C.SPHERE)[0]
+        # largest sphere: the most screen coverage, the strongest smooth
+        # gradient (a sub-pixel sphere at low res has loss == grad == 0)
+        row = (int(sph_rows[np.argmax(true_params[sph_rows, 3])])
+               if len(sph_rows) else 0)
+        r = max(float(true_params[row, 3]), 1e-3)
+        delta = np.zeros_like(true_params)
+        # displace by ~40% of the radius so the sphere still overlaps its
+        # true silhouette (the smooth gradient has no silhouette term)
+        delta[row, 0:3] = np.array([0.8, -0.5, 0.6]) * (0.4 * r)
+        s = with_prim_params(scene, jnp.asarray(true_params + delta))
+        mask = np.zeros((true_params.shape[0], 1), np.float32)
+        mask[row] = 1.0
+        sc = dataclasses.replace(
+            _lr_scales(materials=0.0, light_pos=0.0, light_color=0.0,
+                       camera=0.0, geometry=0.0),
+            prim_params=jnp.asarray(mask))
+        for i in range(args.steps):
+            s, loss = train_step_full(s, target, cfg, mesh, args.lr,
+                                      jax.random.PRNGKey(i), sc)
+            d = float(np.linalg.norm(
+                np.asarray(s.prims.params)[row, 0:3]
+                - true_params[row, 0:3]))
+            print(f"step {i}: loss {float(loss):.6f}  center offset {d:.4f}")
+            if i == 0 and float(loss) < 1e-7:
+                print("note: displaced sphere does not affect the image at "
+                      "this resolution — try a higher --res")
+        return
+
     # light-position inverse rendering (FitParams / train_step_full):
     # displace the first light, recover it by psum'd gradient descent
     true_pos = np.asarray(scene.lights.position)
@@ -515,9 +554,10 @@ def main(argv=None):
     pf.add_argument("--steps", type=int, default=10)
     pf.add_argument("--lr", type=float, default=1.0)
     pf.add_argument("--fit", default="materials",
-                    choices=["materials", "lights", "all"],
-                    help="parameter groups to optimize (lights/all use "
-                    "train_step_full; lr ~100 recommended for lights)")
+                    choices=["materials", "lights", "geometry", "all"],
+                    help="parameter groups to optimize (lights/geometry/all "
+                    "use train_step_full; lr ~100 recommended for lights, "
+                    "~2 for geometry)")
     pf.set_defaults(fn=cmd_fit)
 
     pp = sub.add_parser("pathtrace",

@@ -139,8 +139,14 @@ def build_scene(
         packets = build_packets(params[:n_obj], ptype[:n_obj])
     elif accel_type == C.ACCEL_GRID and n_obj > 0:
         from ..accel.grid import build_grid
+        from ..accel.packets import build_packets
 
         grid = build_grid(params[:n_obj], ptype[:n_obj])
+        # packet tables too: on TPU, grid mode routes traversal to the
+        # packet-BVH kernel (the vmapped per-ray DDA is ~100x slower on
+        # device — measured, tools/bench_grid.py); the DDA stays
+        # dispatchable via accel_impl="perray"
+        packets = build_packets(params[:n_obj], ptype[:n_obj])
 
     skybox = jnp.zeros((6, 1, 1, 3), jnp.float32)
     has_skybox = False

@@ -79,6 +79,20 @@ def trace_closest(scene: Scene, rays: Rays, cfg: RenderConfig = None):
 
             return clustered_closest_hit(scene.clusters, scene.prims, rays)
     if scene.accel_type == C.ACCEL_GRID and scene.grid is not None:
+        # On TPU, grid mode ROUTES to the packet-BVH kernel when the scene
+        # carries packet tables: the vmapped per-ray DDA runs all rays to
+        # the worst trip count and gathers cell lists per iteration —
+        # measured 100x+ slower than the packet walk on mount_high (see
+        # tools/bench_grid.py / docs/ARCHITECTURE.md). Both paths return
+        # the physical closest hit, so images are identical.
+        # accel_impl="perray" forces the real DDA (its cost stays
+        # measurable, not dead weight).
+        impl = _bvh_impl(scene, cfg)
+        if (impl not in ("perray", "brute") and scene.packets is not None
+                and jax.default_backend() == "tpu"):
+            from ..accel.packets import packet_closest_hit
+
+            return packet_closest_hit(scene.packets, scene.prims, rays)
         from ..accel.traverse import grid_closest_hit
 
         return grid_closest_hit(scene.grid, scene.prims, rays)
@@ -106,9 +120,19 @@ def trace_shadow(scene: Scene, rays: Rays, max_t, cfg: RenderConfig = None):
             return clustered_any_hit(scene.clusters, scene.prims, rays,
                                      max_t)
     if scene.accel_type == C.ACCEL_GRID and scene.grid is not None:
+        initfail = bool(cfg.reference_grid_shadow_initfail) if cfg else False
+        # same TPU routing as trace_closest — EXCEPT when the reference's
+        # init-failure quirk is requested, which only the real DDA models
+        impl = _bvh_impl(scene, cfg)
+        if (not initfail and impl not in ("perray", "brute")
+                and scene.packets is not None
+                and jax.default_backend() == "tpu"):
+            from ..accel.packets import packet_any_hit
+
+            return packet_any_hit(scene.packets, scene.prims, rays,
+                                  float(max_t))
         from ..accel.traverse import grid_any_hit
 
-        initfail = bool(cfg.reference_grid_shadow_initfail) if cfg else False
         return grid_any_hit(scene.grid, scene.prims, rays, max_t,
                             init_fail_occludes=initfail)
     return intersect.any_hit_brute(scene.prims, rays, max_t)
@@ -190,6 +214,14 @@ def _level_step(scene: Scene, rays: Rays, active, ior_in, cfg: RenderConfig,
     # differentiable re-intersection of the winner primitive
     t = intersect.per_ray_t(params, ptype, rays.origin, rays.direction,
                             present)
+    # borderline hits (tangential spheres, ε-edge triangles) can be accepted
+    # by the traversal's formula but rejected by the re-derivation under f32
+    # re-association; t would then be BIG and the hit point ~1e30, whose
+    # square overflows to inf downstream — masked in the forward pass but a
+    # NaN factory in reverse (0·inf cotangents). Fall back to the discrete
+    # winner t for those lanes (their gradient is unbounded at the tangency
+    # anyway, so dropping it is the correct smooth-gradient semantics).
+    t = jnp.where(t >= C.BIG, jax.lax.stop_gradient(t_disc), t)
     t = jnp.where(hit, t, 1.0)
 
     hit_point = rays.origin + rays.direction * t[:, None]

@@ -848,4 +848,11 @@ def make_render_tile(scene, cfg, interpret: bool = False):
     def tile(px, py, key):
         return tile_inner(px, py, key, sky_operand)
 
+    # exposed for callers that jit/loop AROUND the tile (bench timing loops):
+    # tracing `tile` inside another jit would capture the cubemap closure as
+    # an XLA constant (a 288 MB compile payload — the remote-compile tunnel
+    # rejects it outright with HTTP 413); `tile.inner(px, py, key, skybox)`
+    # keeps it a runtime operand instead.
+    tile.inner = tile_inner
+    tile.sky_operand = sky_operand
     return tile

@@ -228,11 +228,13 @@ def _project_materials(m):
 
 def lr_scales(materials: float = 1.0, light_pos: float = 1.0,
               light_color: float = 1.0, camera: float = 1.0,
-              geometry: float = 1.0) -> FitParams:
+              geometry: float = 0.0) -> FitParams:
     """Per-group learning-rate multipliers for train_step_full. Parameter
     groups live on very different scales (colors in [0,1], light/eye
     positions in world units), so a single lr cannot fit them jointly.
-    Pass 0.0 to freeze a group."""
+    Pass 0.0 to freeze a group. ``geometry`` (the [N,12] primitive table)
+    defaults FROZEN: its sensible lr is orders of magnitude below the
+    light/camera groups', so it must be opted in explicitly."""
     f32 = lambda v: jnp.asarray(v, jnp.float32)
     return FitParams(
         materials=jax.tree.map(lambda _: f32(materials),
