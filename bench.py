@@ -96,7 +96,7 @@ def _bench_scene(rt, scene, cfg, label, res_x, res_y, n_lights, frame_time,
             x = px + 0.37 * i.astype(jnp.float32)
             return acc + tile_fn.inner(x, py, key, sky).sum(), sky
 
-        dt = loop_time(step, (jnp.float32(0.0), scene.skybox),
+        dt = loop_time(step, (jnp.float32(0.0), tile_fn.sky_operand),
                        n_lo=2, n_hi=n_hi, reps=3)
     elif tile_fn is None and cfg.use_skybox and scene.has_skybox:
         # non-baked engine + skybox: thread the whole scene through the

@@ -176,6 +176,29 @@ def test_megakernel_skybox_distribution_mode():
     _compare(sd, cfg, 8, atol=5e-3, skybox=True)
 
 
+def test_megakernel_skybox_u8_packed():
+    """Loaded (u8) cubemaps ride the packed-u32 single-gather epilogue;
+    colors must still match the sweep's u8 skybox_color path exactly."""
+    rng = np.random.RandomState(7)
+    sky_u8 = rng.randint(0, 256, (6, 8, 8, 3)).astype(np.uint8)
+    sd = mixed_scene(res=10)
+    scene = rt.build_scene(sd)
+    import jax.numpy as jnp
+
+    scene = dataclasses.replace(scene, skybox=jnp.asarray(sky_u8),
+                                has_skybox=True)
+    cfg = dataclasses.replace(rt.RenderConfig(max_depth=2), use_skybox=True)
+    px, py = _grid(10)
+    key = jax.random.PRNGKey(0)
+    want = np.clip(np.asarray(whitted.render_tile(scene, px, py, cfg, key)),
+                   0.0, 1.0)
+    tile = mk.make_render_tile(scene, cfg, interpret=True)
+    assert tile.sky_operand.ndim == 3  # packed
+    got = np.asarray(tile(px, py, key))
+    assert_images_close(got.reshape(10, 10, 3), want.reshape(10, 10, 3),
+                        atol=2e-3)
+
+
 def test_megakernel_supports_skybox():
     from u_4a_2s_p3d_raytracer_template2_tpu.models.scenes import mount_scene
 

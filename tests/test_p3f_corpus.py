@@ -113,3 +113,24 @@ def test_skybox_color_directions():
     out = np.asarray(skybox_color(jnp.asarray(sky), d))[:, 0]
     want = np.array([2, 1, 3, 4, 5, 6]) / 6.0  # LEFT,RIGHT,TOP,BOTTOM,FRONT,BACK
     np.testing.assert_allclose(out, want, atol=1e-6)
+
+
+def test_skybox_packed_u32_bit_identical():
+    """The packed-u32 cubemap path (one gathered element per texel — the
+    megakernel epilogue's fast path) must reproduce skybox_color exactly
+    for u8 cubemaps."""
+    import jax.numpy as jnp
+    from u_4a_2s_p3d_raytracer_template2_tpu.ops.shade import (
+        pack_skybox_u32,
+        skybox_color,
+        skybox_color_packed,
+    )
+
+    rng = np.random.default_rng(0)
+    sky = rng.integers(0, 256, (6, 16, 16, 3), dtype=np.uint8)
+    d = rng.normal(size=(512, 3)).astype(np.float32)
+    a = np.asarray(skybox_color(jnp.asarray(sky), jnp.asarray(d)))
+    b = np.asarray(skybox_color_packed(pack_skybox_u32(jnp.asarray(sky)),
+                                       jnp.asarray(d)))
+    np.testing.assert_array_equal(a, b)
+    assert a.min() >= 0.0 and a.max() <= 1.0

@@ -61,13 +61,14 @@ def main(names):
 
         # the cubemap rides in the LOOP CARRY (a runtime operand): closing
         # over it inside the timing jit would embed 288 MB of constants in
-        # the remote-compile payload (HTTP 413 — observed)
+        # the remote-compile payload (HTTP 413 — observed). tile.sky_operand
+        # is the packed-u32 form the tile's own wrapper would pass.
         def step(i, carry):
             acc, sky = carry
             x = px + 0.37 * i.astype(jnp.float32)
             return acc + tile.inner(x, py, key, sky).sum(), sky
 
-        dt = loop_time(step, (jnp.float32(0.0), scene.skybox),
+        dt = loop_time(step, (jnp.float32(0.0), tile.sky_operand),
                        n_lo=2, n_hi=8, reps=3)
         # per-ray convention: each AA sample = 1 primary + n_lights shadow
         rays = res_x * res_y * cfg.spp * cfg.spp * (1 + scene.n_lights)

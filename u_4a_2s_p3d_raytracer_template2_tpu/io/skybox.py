@@ -16,7 +16,14 @@ _EXTS = (".jpg", ".jpeg", ".png")
 
 
 def load_skybox_dir(sky_dir: str) -> Optional[np.ndarray]:
-    """Return [6, H, W, 3] float32 in [0,1], or None if the dir is missing.
+    """Return [6, H, W, 3] uint8, or None if the dir is missing.
+
+    Raw bytes, exactly like the reference keeps them (scene.cpp:333-381);
+    lookups convert texels to float as u8/255.99 AFTER the gather
+    (ops/shade.skybox_color — reference u8tofloat semantics, maths.h). u8
+    storage is also the TPU-performance choice: 72 MB of HBM instead of
+    288, 4x less gather traffic, and it enables the megakernel epilogue's
+    packed-u32 single-element gather.
 
     The reference exits the process on a missing face (scene.cpp:358); we
     degrade to no-skybox so scenes like balls_box.p3f (whose ``env skybox1``
@@ -40,15 +47,14 @@ def load_skybox_dir(sky_dir: str) -> Optional[np.ndarray]:
         if path is None:
             return None
         im = Image.open(path).convert("RGB")
-        arr = np.asarray(im, np.float32) / 255.99
+        arr = np.asarray(im, np.uint8)
         imgs.append(arr[::-1])  # flip to lower-left origin
 
     size = max(max(a.shape[0], a.shape[1]) for a in imgs)
-    out = np.zeros((6, size, size, 3), np.float32)
+    out = np.zeros((6, size, size, 3), np.uint8)
     for i, a in enumerate(imgs):
         if a.shape[0] != size or a.shape[1] != size:
-            im = Image.fromarray((a[::-1] * 255.99).astype(np.uint8))
-            im = im.resize((size, size))
-            a = np.asarray(im, np.float32)[::-1] / 255.99
+            im = Image.fromarray(a[::-1]).resize((size, size))
+            a = np.asarray(im, np.uint8)[::-1]
         out[i] = a
     return out

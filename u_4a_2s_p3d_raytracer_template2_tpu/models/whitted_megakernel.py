@@ -665,13 +665,17 @@ def _trace_fn_cached(consts_key, cfg, interpret):
         color = jnp.stack([a.reshape(-1) for a in outs[:3]], -1)
         if n_sky:
             # deferred-sky epilogue (module doc): one batched cubemap gather
-            # over every node's recorded miss direction, weighted add, clamp
-            from ..ops.shade import skybox_color
+            # over every node's recorded miss direction, weighted add, clamp.
+            # XLA's TPU gather is element-count bound (~2.5 ns/element), so
+            # u8 cubemaps ride the packed-u32 path: 1 gathered element per
+            # texel instead of 3 (bit-identical colors; ops/shade).
+            from ..ops.shade import skybox_color, skybox_color_packed
 
             sk = outs[3].reshape(n_sky // 6, 6, rows * LANE)
             w = sk[:, 0:3].transpose(0, 2, 1)            # [E, Rpad, 3]
             dv = sk[:, 3:6].transpose(0, 2, 1)           # [E, Rpad, 3]
-            rgb = skybox_color(skybox, dv.reshape(-1, 3))
+            lookup = skybox_color_packed if skybox.ndim == 3 else skybox_color
+            rgb = lookup(skybox, dv.reshape(-1, 3))
             color = color + (w * rgb.reshape(w.shape)).sum(axis=0)
             color = jnp.clip(color, 0.0, 1.0)
         return color[:R]
@@ -800,8 +804,15 @@ def make_render_tile(scene, cfg, interpret: bool = False):
     n_rows, _ = _stream_layout(consts, cfg)
     camera = scene.camera
     # the cubemap rides as an explicit jit argument (NOT a closure capture:
-    # a captured 288 MB device array would lower as an XLA constant)
-    sky_operand = scene.skybox if _sky_on(consts, cfg) else None
+    # a captured 288 MB device array would lower as an XLA constant); u8
+    # cubemaps are packed to one u32 per texel ONCE here (see epilogue)
+    sky_operand = None
+    if _sky_on(consts, cfg):
+        sky_operand = scene.skybox
+        if jnp.issubdtype(jnp.asarray(sky_operand).dtype, jnp.integer):
+            from ..ops.shade import pack_skybox_u32
+
+            sky_operand = pack_skybox_u32(sky_operand)
 
     def _trace(rays, ktrace, offsets, skybox):
         if n_rows:

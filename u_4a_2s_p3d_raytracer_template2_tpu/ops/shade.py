@@ -163,13 +163,11 @@ def fresnel_kr(ro: RefractOut, ior_1, transmit, ks, mode: str):
     return jnp.where(transmissive, kr_t, ks)
 
 
-def skybox_color(skybox: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
-    """Cubemap nearest-texel lookup by dominant axis (scene.cpp:383-461).
-
-    Face order RIGHT,LEFT,TOP,BOTTOM,FRONT,BACK with the reference's
-    unusual conventions: LEFT at X=+1, RIGHT at X=-1 (scene.cpp:398).
-    skybox: [6, H, W, 3]; d: [R, 3] (need not be normalized).
-    """
+def cubemap_index(d: jnp.ndarray, H: int, W: int):
+    """(side, yp, xp) nearest-texel cubemap indices by dominant axis
+    (scene.cpp:383-461). Face order RIGHT,LEFT,TOP,BOTTOM,FRONT,BACK with
+    the reference's unusual conventions: LEFT at X=+1, RIGHT at X=-1
+    (scene.cpp:398). d: [R, 3] (need not be normalized)."""
     x, y, z = d[:, 0], d[:, 1], d[:, 2]
     ax, ay, az = jnp.abs(x), jnp.abs(y), jnp.abs(z)
 
@@ -193,7 +191,45 @@ def skybox_color(skybox: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
     s = (sc * inv + 1.0) * 0.5
     t = (tc * inv + 1.0) * 0.5
 
-    H, W = skybox.shape[1], skybox.shape[2]
     xp = jnp.clip(((W - 1) * s).astype(jnp.int32), 0, W - 1)
     yp = jnp.clip(((H - 1) * t).astype(jnp.int32), 0, H - 1)
-    return skybox[side, yp, xp]
+    return side, yp, xp
+
+
+def skybox_texel_to_float(rgb):
+    """u8 texel -> float color, reference u8tofloat semantics (byte/255.99,
+    maths.h); float skyboxes (synthetic test cubemaps) pass through."""
+    if jnp.issubdtype(rgb.dtype, jnp.integer):
+        return rgb.astype(jnp.float32) / 255.99
+    return rgb
+
+
+def skybox_color(skybox: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
+    """Cubemap nearest-texel lookup (scene.cpp:383-461).
+
+    skybox: [6, H, W, 3] uint8 (loaded faces) or float32 (synthetic);
+    d: [R, 3] (need not be normalized).
+    """
+    side, yp, xp = cubemap_index(d, skybox.shape[1], skybox.shape[2])
+    return skybox_texel_to_float(skybox[side, yp, xp])
+
+
+def pack_skybox_u32(skybox) -> jnp.ndarray:
+    """[6,H,W,3] u8 -> [6,H,W] uint32 (r<<16 | g<<8 | b): ONE gathered
+    element per texel fetch instead of three. XLA's TPU gather is
+    element-count-bound (~2.5 ns/element measured), so this is a ~3x cut
+    in cubemap lookup cost; unpacking is vector bit-math. Only valid for
+    u8 cubemaps (packing a float cubemap would quantize)."""
+    s = jnp.asarray(skybox)
+    assert jnp.issubdtype(s.dtype, jnp.integer), "pack requires u8 skybox"
+    s = s.astype(jnp.uint32)
+    return (s[..., 0] << 16) | (s[..., 1] << 8) | s[..., 2]
+
+
+def skybox_color_packed(packed: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
+    """Packed-u32 twin of skybox_color: bit-identical colors (the unpacked
+    bytes are the same bytes; the /255.99 conversion is the same op)."""
+    side, yp, xp = cubemap_index(d, packed.shape[1], packed.shape[2])
+    v = packed[side, yp, xp]
+    rgb = jnp.stack([(v >> 16) & 0xFF, (v >> 8) & 0xFF, v & 0xFF], -1)
+    return rgb.astype(jnp.float32) / 255.99
