@@ -749,7 +749,12 @@ def _auto_sort(pt: PacketTables) -> bool:
 
 
 def _sorted_padded(pt: PacketTables, rays: Rays, pack: int,
-                   coherence_sort: bool):
+                   coherence_sort: bool, dead=None):
+    """``dead`` [R] bool marks lanes whose result the caller will mask
+    anyway (inactive queue entries, back-facing shadow rays): their valid
+    bit is cleared so the kernels treat them like pad rays — pre-occluded
+    in any-hit (whole-packet early exit fires sooner) and non-gating in
+    closest-hit pruning."""
     from .clusters import _coherence_key
 
     o, d = rays.origin, rays.direction
@@ -760,6 +765,8 @@ def _sorted_padded(pt: PacketTables, rays: Rays, pack: int,
         perm = jnp.argsort(key)
         o = o[perm]
         d = d[perm]
+        if dead is not None:
+            dead = dead[perm]
     opad = (-R) % pack
     if opad:
         o = jnp.concatenate([o, jnp.zeros((opad, 3), o.dtype)])
@@ -768,6 +775,10 @@ def _sorted_padded(pt: PacketTables, rays: Rays, pack: int,
                                  (opad, 3))])
     om, dm = _ray_lhs(o, d)
     om = _mark_valid(om, R)
+    if dead is not None:
+        alive = jnp.concatenate(
+            [~dead, jnp.zeros((opad,), bool)]) if opad else ~dead
+        om = om.at[:, 7].set(om[:, 7] * alive.astype(om.dtype))
     return om, dm, R, perm
 
 
@@ -860,25 +871,27 @@ def _packet_closest_hit(pt: PacketTables, prims: Primitives, rays: Rays,
 def packet_any_hit(pt: PacketTables, prims: Primitives, rays: Rays,
                    max_t: float, pack: int = PACK,
                    coherence_sort: bool | None = None,
-                   interpret: bool | None = None):
+                   interpret: bool | None = None, dead=None):
     """Early-exit occlusion via packet-BVH walks. [R] bool. None defaults
-    resolve here, outside jit (see packet_closest_hit)."""
+    resolve here, outside jit (see packet_closest_hit). ``dead`` [R] bool:
+    lanes the caller masks downstream — reported occluded without
+    traversing (see _sorted_padded)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if coherence_sort is None:
         coherence_sort = _auto_sort(pt)
     return _packet_any_hit(pt, prims, rays, float(max_t), pack,
-                           bool(coherence_sort), bool(interpret))
+                           bool(coherence_sort), bool(interpret), dead)
 
 
 @functools.partial(jax.jit, static_argnames=("max_t", "pack",
                                              "coherence_sort", "interpret"))
 def _packet_any_hit(pt: PacketTables, prims: Primitives, rays: Rays,
                     max_t: float, pack: int, coherence_sort: bool,
-                    interpret: bool):
+                    interpret: bool, dead=None):
     pt = jax.lax.stop_gradient(pt)
     rays = jax.lax.stop_gradient(rays)
-    om, dm, R, perm = _sorted_padded(pt, rays, pack, coherence_sort)
+    om, dm, R, perm = _sorted_padded(pt, rays, pack, coherence_sort, dead)
 
     occ = jnp.zeros((om.shape[0],), jnp.float32)
 

@@ -313,26 +313,32 @@ def _sky_on(consts, cfg) -> bool:
 
 
 def _sky_layout(consts, cfg):
-    """Static row assignment for the deferred-sky output (module doc).
+    """Static slot assignment for the deferred-sky output (module doc).
 
-    Every node of the static recursion tree can miss, so every (lvl, path)
-    gets a 6-row slot: rows [r, r+3) = per-channel weight, [r+3, r+6) = the
-    node's ray direction. Returns (n_rows, {(lvl, path): first_row})."""
+    Along any root-to-leaf path of the recursion tree AT MOST ONE node's
+    sky weight is nonzero (children spawn only on hit; a miss terminates
+    the path), so entries on the same path can SHARE a 6-row slot — the
+    kernel merges them with an exclusive accumulate. A minimum path cover
+    of the tree has exactly branch^(n_levels-1) slots: ONE for
+    reflective-only chains (4x fewer epilogue gather rows at depth 4 —
+    the gather is row-count-bound), 8 for the full refl+refr depth-4 tree
+    (1.9x fewer). Node (lvl, path) maps to the slot of the leftmost leaf
+    below it. Returns (n_rows, {(lvl, path): slot_first_row})."""
     if not _sky_on(consts, cfg):
         return 0, {}
     has_sec = consts.has_refl or consts.has_refr
     branch = 2 if (consts.has_refl and consts.has_refr) else 1
     n_levels = cfg.max_depth if has_sec else 1
     rowmap = {}
-    n = 0
     w = 1
     for lvl in range(n_levels):
         for path in range(w):
-            rowmap[(lvl, path)] = n
-            n += 6
+            slot = path * branch ** (n_levels - 1 - lvl)
+            rowmap[(lvl, path)] = 6 * slot
         if has_sec and lvl < n_levels - 1:
             w *= branch
-    return n, rowmap
+    n_slots = branch ** (n_levels - 1)
+    return 6 * n_slots, rowmap
 
 
 def _direct_light(consts, cfg, o, d, hp, precise, n, mat, hit, need_inv,
@@ -591,7 +597,21 @@ def _build_kernel(consts: _SceneConsts, cfg):
         col, sky = _node(consts, cfg, o, d, jnp.ones_like(o[0]), 1,
                          need_inv, stream, 0, skymap if n_sky else None)
         if n_sky:
+            # exclusive-accumulate entries sharing a path-cover slot (see
+            # _sky_layout): weights add (at most one is nonzero per lane),
+            # the nonzero entry's direction wins
+            merged = {}
             for row, sw, sd in sky:
+                if row not in merged:
+                    merged[row] = (list(sw), list(sd))
+                else:
+                    w0, d0 = merged[row]
+                    nz = (sw[0] + sw[1] + sw[2]) > 0.0
+                    merged[row] = (
+                        [w0[ax] + sw[ax] for ax in range(3)],
+                        [jnp.where(nz, sd[ax], d0[ax]) for ax in range(3)],
+                    )
+            for row, (sw, sd) in merged.items():
                 for ax in range(3):
                     sky_out[row + ax] = sw[ax]
                     sky_out[row + 3 + ax] = sd[ax]
