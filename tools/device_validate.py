@@ -12,8 +12,9 @@ PT megakernel (+roofline, parity-outlier account), packet-BVH traversal on
 dragon, grid-vs-packets on mount_high.
 
 Roofline convention: achieved FLOP/s uses a STATIC per-primitive op-count
-model (documented inline, ±30%); peaks assume v5e — 819 GB/s HBM, VPU f32
-~2 TFLOP/s (8x128 lanes x 2 FLOP FMA x ~1 GHz).
+model (documented inline, ±30%); the VPU peak is MEASURED by the
+`vpu_peak` section (pure-FMA Pallas microbenchmark), HBM peak is the v5e
+public 819 GB/s.
 
 Usage: python tools/device_validate.py [section ...]
        (needs the TPU backend; no args = all sections, FRESH artifact)
@@ -32,8 +33,12 @@ OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                    "device_validate.json")
 SCENES = "/root/reference/P3D_RayTracer_Template2/P3D_Scenes"
 
-VPU_PEAK_F32 = 2.0e12     # v5e assumption, see module doc
-HBM_PEAK = 819e9
+HBM_PEAK = 819e9          # v5e public spec
+
+# measured f32 FMA ceiling (the `vpu_peak` section fills this at runtime;
+# roofline pct columns use the MEASURED value, not a datasheet guess — the
+# r3 artifact's assumed 2 TFLOP/s put one kernel at "113% of peak")
+_MEASURED_VPU = {"flops": None}
 
 
 def main():
@@ -74,6 +79,7 @@ def main():
 
     rng = np.random.default_rng(0)
     for name, fn in (
+            ("vpu_peak", lambda: _vpu_peak(jax, jnp, report)),
             ("spheres", lambda: _spheres(jax, jnp, pk, rng, report)),
             ("whitted_mk", lambda: _whitted_mk(jax, jnp, rt, whitted, mk,
                                                mount_scene, report)),
@@ -97,6 +103,67 @@ def main():
         f.write("\n")
     print("wrote", OUT)
     return 0
+
+
+def _vpu_peak(jax, jnp, report):
+    """Measured f32 FMA ceiling: a pure-FMA Pallas kernel on VMEM-resident
+    [256,128] blocks, 512 dependent-chain-free FMAs per element. This is
+    the denominator for every pct_vpu_peak below — a measured
+    speed-of-light, not a datasheet guess."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from u_4a_2s_p3d_raytracer_template2_tpu.utils.timing import frame_time
+
+    ROWS, N_FMA = 256, 512
+
+    def kernel(x_ref, o_ref):
+        a = x_ref[:]
+        b = a * 1.0000001 + 0.3
+        c = a * 0.9999999 - 0.2
+        d = a + 0.1
+        e = a - 0.1
+        for _ in range(N_FMA // 8):
+            b = b * a + 0.25
+            c = c * a - 0.25
+            d = d * a + 0.5
+            e = e * a - 0.5
+            b = b * 1.0000001 + c
+            c = c * 0.9999998 + d
+            d = d * 1.0000002 + e
+            e = e * 0.9999997 + b
+        o_ref[:] = b + c + d + e
+
+    spec = pl.BlockSpec((ROWS, 128), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    grid_n = 64
+
+    @jax.jit
+    def run(x):
+        return pl.pallas_call(
+            kernel, grid=(grid_n,), in_specs=[spec], out_specs=spec,
+            out_shape=jax.ShapeDtypeStruct((grid_n * ROWS, 128),
+                                           jnp.float32),
+        )(x)
+
+    x = jnp.linspace(0.9, 1.1, grid_n * ROWS * 128,
+                     dtype=jnp.float32).reshape(grid_n * ROWS, 128)
+    dt = frame_time(lambda i: run(x + 1e-6 * i).sum(), n_lo=4, n_hi=40,
+                    reps=3)
+    flops = grid_n * ROWS * 128 * N_FMA * 2  # FMA = 2 FLOPs
+    tflops = flops / dt / 1e12
+    _MEASURED_VPU["flops"] = flops / dt
+    report["vpu_peak"] = {
+        "measured_f32_fma_tflops": round(tflops, 3),
+        "method": f"{N_FMA} interleaved FMAs/element on [256,128] VMEM "
+                  "blocks, slope-timed",
+    }
+    print("vpu_peak:", report["vpu_peak"], flush=True)
+
+
+def _pct_peak(flops_per_s):
+    peak = _MEASURED_VPU["flops"]
+    return round(100 * flops_per_s / peak, 1) if peak else None
 
 
 def _spheres(jax, jnp, pk, rng, report):
@@ -134,15 +201,21 @@ def _spheres(jax, jnp, pk, rng, report):
     row = {
         "rays": R, "prims": K, "t_agree_frac": agree,
         "sweep_ms": round(dt * 1e3, 2),
-        "gtests_per_s": round(R * K / dt / 1e12, 3),
+        "gtests_per_s": round(R * K / dt / 1e9, 1),
     }
 
     # Forensics on the disagreeing rays (the r3 verdict flagged the bare
     # 0.9943 as unexplained): for each, compute the exact f64 closest hit
-    # on host and record which implementation is closer to truth plus the
-    # discriminant margin. Expected: random grazing rays whose f32
-    # discriminant b^2-4ac lands on opposite signs in the two formulas'
-    # association orders — a boundary-epsilon population, not a logic bug.
+    # on host, and record each implementation's error against it plus the
+    # winner's discriminant. Measured cause: BOTH device paths use the
+    # factored quadratic c = |o|^2 - 2 o.c + (|c|^2 - r^2) — the expansion
+    # that makes precomputed chunk tables / MXU forms possible — which
+    # catastrophically cancels ~8 bits at these ±12-unit origins against
+    # sub-unit spheres; the two paths' different summation orders then
+    # resolve near-ties to different winners. Neither is biased (median
+    # |t - t_f64| is the same magnitude for both); the per-ray
+    # differentiable path (ops/intersect._sphere_t_one) uses the
+    # reference's direct (o-c) form and does not carry this error.
     bad = np.asarray(jnp.nonzero(~agree_mask, size=R, fill_value=-1)[0])
     bad = bad[bad >= 0]
     if len(bad):
@@ -165,18 +238,25 @@ def _spheres(jax, jnp, pk, rng, report):
         t_true = tt.min(-1)
         win = tt.argmin(-1)
         margin = np.abs(disc[np.arange(len(bad)), win])
-        tp = np.asarray(t_pk)[bad]
-        tr = np.asarray(t_ref)[bad]
-        pk_closer = np.abs(tp - t_true) <= np.abs(tr - t_true)
+        # misses clamp to 1e6 so a hit/miss flip shows as a large-but-
+        # finite error instead of swamping the medians
+        tp = np.minimum(np.asarray(t_pk)[bad], 1e6)
+        tr = np.minimum(np.asarray(t_ref)[bad], 1e6)
+        tt6 = np.minimum(t_true, 1e6)
+        err_pk = np.abs(tp - tt6)
+        err_rf = np.abs(tr - tt6)
         row["disagree_forensics"] = {
             "n": int(len(bad)),
             "median_f64_disc_at_winner": float(np.median(margin)),
-            "pallas_closer_to_f64_frac": round(float(pk_closer.mean()), 4),
-            "note": "disagreements are tangential-boundary rays: the two "
-                    "f32 association orders flip the sign of a ~0 "
-                    "discriminant; neither is 'wrong', and the Pallas "
-                    "kernel matches the f64 oracle at least as often as "
-                    "the MXU reference path",
+            "median_abs_t_err_pallas": float(np.median(err_pk)),
+            "median_abs_t_err_mxu": float(np.median(err_rf)),
+            "pallas_closer_to_f64_frac": round(
+                float((err_pk <= err_rf).mean()), 4),
+            "note": "cause: f32 catastrophic cancellation in the factored "
+                    "quadratic both sweep paths share (see comment above); "
+                    "error magnitudes are symmetric, winners flip on "
+                    "near-ties. The differentiable per-ray path uses the "
+                    "reference's direct (o-c) form instead.",
         }
     report["sphere_closest"] = row
     print("sphere_closest:", row, flush=True)
@@ -262,7 +342,8 @@ def _whitted_mk(jax, jnp, rt, whitted, mk, mount_scene, report):
         "roofline": {
             "flops_est_per_frame": int(flops),
             "achieved_tflops": round(flops / dt / 1e12, 3),
-            "pct_vpu_peak": round(100 * flops / dt / VPU_PEAK_F32, 1),
+            "pct_measured_vpu_peak": _pct_peak(flops / dt),
+            "flop_model_note": "static per-prim op counts, +-30%",
             "hbm_bytes": hbm_bytes,
             "hbm_gb_per_s": round(hbm_bytes / dt / 1e9, 2),
             "verdict": "compute-bound (HBM traffic is ~1% of peak; the "
@@ -375,8 +456,8 @@ def _pt_mk(jax, jnp, report):
         "roofline": {
             "flops_est_per_frame": flops,
             "achieved_tflops": round(flops / dt / 1e12, 3),
-            "pct_vpu_peak": round(100 * flops / dt / VPU_PEAK_F32, 1),
-            "note": "estimate uses ~3.2 mean live bounces (block "
+            "pct_measured_vpu_peak": _pct_peak(flops / dt),
+            "note": "static flop model +-30%; estimate uses ~3.2 mean live bounces (block "
                     "early-exit); sky-heavy frames are latency-, not "
                     "bandwidth-bound",
         },
@@ -465,7 +546,7 @@ def _grid(jax, jnp, rt, report):
 
     sd = rt.parse_p3f(f"{SCENES}/mount_high.p3f")
     gscene = rt.build_scene(sd, accel=1)
-    res = 128
+    res = 256   # 128^2 put the packet pass under 1 ms — slope noise
     ys, xs = np.meshgrid(np.arange(res, dtype=np.float32),
                          np.arange(res, dtype=np.float32), indexing="ij")
     rays = primary_rays(gscene.camera, jnp.asarray(xs.reshape(-1)) + 0.5,
@@ -487,13 +568,13 @@ def _grid(jax, jnp, rt, report):
         t, oid = packet_closest_hit(gscene.packets, gscene.prims, r)
         return acc + t.sum() + oid.sum().astype(jnp.float32)
 
-    dtp = loop_time(stepp, jnp.float32(0.0), n_lo=1, n_hi=5, reps=3)
+    dtp = loop_time(stepp, jnp.float32(0.0), n_lo=2, n_hi=30, reps=3)
 
     tg, ig = jax.jit(lambda r: grid_closest_hit(
         gscene.grid, gscene.prims, r))(rays)
     tp_, ip_ = jax.jit(lambda r: packet_closest_hit(
         gscene.packets, gscene.prims, r))(rays)
-    report["grid_mount_high_128"] = {
+    report["grid_mount_high_256"] = {
         "grid_dda_ms": round(dtg * 1e3, 2),
         "packets_ms": round(dtp * 1e3, 3),
         "speedup": round(dtg / dtp, 1),
@@ -503,7 +584,7 @@ def _grid(jax, jnp, rt, report):
                 "the vmapped per-ray DDA stays dispatchable via "
                 "accel_impl='perray' and is what this row measures",
     }
-    print("grid:", report["grid_mount_high_128"], flush=True)
+    print("grid:", report["grid_mount_high_256"], flush=True)
 
 
 if __name__ == "__main__":

@@ -108,8 +108,10 @@ def trace_shadow(scene: Scene, rays: Rays, max_t, cfg: RenderConfig = None,
     ``dead`` [R] bool marks lanes whose result the caller masks downstream
     (inactive wavefront entries, back-facing N·L<=0 lanes): the packet
     kernel reports them occluded WITHOUT traversing, so all-dead packets
-    early-exit instantly (measured: balls_high full frame 344 -> 226 ms).
-    Only the packet path exploits it; other impls ignore the hint.
+    early-exit instantly. Measured: free to apply, but no frame-level win
+    on balls_high — compaction keeps queues alive-dense, so whole-dead
+    packets are rare there (docs/ARCHITECTURE.md round-4 #14). Only the
+    packet path exploits it; other impls ignore the hint.
     """
     if scene.accel_type == C.ACCEL_BVH:
         impl = _bvh_impl(scene, cfg)

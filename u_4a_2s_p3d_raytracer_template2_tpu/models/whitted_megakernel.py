@@ -138,13 +138,16 @@ def _prim_test(obj, o, d, quad, inv):
     p = obj["p"]
     t_kind = obj["ptype"]
     if t_kind == C.SPHERE:
+        # direct (o-c) form, matching ops/intersect._sphere_t_one (robust
+        # against the factored form's catastrophic cancellation; the
+        # reference computes it this way too, scene.cpp:149-172)
         cx, cy, cz, r = p[0], p[1], p[2], p[3]
-        k = cx * cx + cy * cy + cz * cz - r * r
-        a, do, oo = quad
-        oc = ox * cx + oy * cy + oz * cz
-        dc = dx * cx + dy * cy + dz * cz
-        b = 2.0 * (do - dc)
-        cc = oo - 2.0 * oc + k
+        a = quad[0]
+        lx = ox - cx
+        ly = oy - cy
+        lz = oz - cz
+        b = 2.0 * (dx * lx + dy * ly + dz * lz)
+        cc = lx * lx + ly * ly + lz * lz - r * r
         delta = b * b - 4.0 * a * cc
         pos = delta > 0.0
         sq = jnp.sqrt(jnp.where(pos, delta, 1.0)) * pos

@@ -187,14 +187,24 @@ def _cols3(a):
 
 
 def _sphere_t_one(c, k, o_cols, d_cols, quad):
+    """Per-ray sphere t in the reference's DIRECT (o−c) form
+    (scene.cpp:149-172). The dense sweep/MXU/Pallas paths use the factored
+    |o|²−2o·c+|c|²−r² expansion (it's what makes precomputed chunk tables
+    and matmuls possible), which catastrophically cancels ~8 bits for
+    origins far from small spheres (measured forensics:
+    tools/device_validate.json sphere_closest.disagree_forensics). This
+    per-ray path gathers the winner's params anyway, so it can afford the
+    robust subtraction-first form — which is also exactly what the
+    reference and tests/oracle.py compute. ``k``/``quad`` kept for
+    signature compatibility (k unused; quad supplies a=|d|²)."""
     ox, oy, oz = o_cols
     dx, dy, dz = d_cols
-    a, do, oo = quad
-    cx, cy, cz = c[0], c[1], c[2]
-    oc = ox * cx + oy * cy + oz * cz
-    dc = dx * cx + dy * cy + dz * cz
-    b = 2.0 * (do - dc)
-    cc = oo - 2.0 * oc + k
+    a, _do, _oo = quad
+    lx = ox - c[0]
+    ly = oy - c[1]
+    lz = oz - c[2]
+    b = 2.0 * (dx * lx + dy * ly + dz * lz)
+    cc = lx * lx + ly * ly + lz * lz - c[3] * c[3]
     delta = b * b - 4.0 * a * cc
     pos = delta > 0.0
     sq = jnp.where(pos, jnp.sqrt(jnp.where(pos, delta, 1.0)), 0.0)
