@@ -169,7 +169,10 @@ def main():
     for name, label, accel, engine, n_hi, sky in (
             ("balls_medium.p3f", "balls_medium", None, "megakernel", 30,
              False),
-            ("balls_high.p3f", "balls_high", 2, "wavefront", 10, False),
+            # balls_high is reflective-only (chain recursion): nothing to
+            # compact, so the sweep beats the wavefront's queue machinery
+            # (330 vs 358 ms measured; docs/ARCHITECTURE.md round-4 #16)
+            ("balls_high.p3f", "balls_high", 2, "sweep", 10, False),
             ("dragon.p3f", "dragon", 2, "wavefront", 4, False),
             ("balls_low.p3f", "balls_low", None, "megakernel", 6, True),
             ("dof.p3f", "dof", None, "megakernel", 6, True),
