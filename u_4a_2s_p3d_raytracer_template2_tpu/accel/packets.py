@@ -495,23 +495,36 @@ def _make_any_kernel(kind: str, pack: int, max_t: float,
 
             li = jnp.clip(a, 0, nn - 2)
             ri = li + 1
-            hitl, _ = slab(li)
-            hitr, _ = slab(ri)
+            hitl, tnl = slab(li)
+            hitr, tnr = slab(ri)
             internal = active & (is_leaf == 0)
-            anyl = (jnp.max(jnp.where(hitl & no_occ, 1.0, 0.0)) > 0.0) \
-                & internal
-            anyr = (jnp.max(jnp.where(hitr & no_occ, 1.0, 0.0)) > 0.0) \
-                & internal
+            usel = hitl & no_occ
+            user = hitr & no_occ
+            anyl = (jnp.max(jnp.where(usel, 1.0, 0.0)) > 0.0) & internal
+            anyr = (jnp.max(jnp.where(user, 1.0, 0.0)) > 0.0) & internal
             both = anyl & anyr
+
+            # near-to-far descent (like the closest kernel). Measured
+            # NEUTRAL on balls_high frames: occluded lanes do drop out
+            # sooner, but the packet exit needs ALL lanes occluded, and
+            # lit lanes (common — the light-facing surface) must prove
+            # non-occlusion by visiting every overlapping leaf no matter
+            # the order. Kept for structural symmetry with the closest
+            # walk; it costs two scalar selects per iteration.
+            entl = jnp.min(jnp.where(usel, tnl, C.BIG))
+            entr = jnp.min(jnp.where(user, tnr, C.BIG))
+            goleft = entl <= entr
+            near = jnp.where(goleft, li, ri)
+            far = jnp.where(goleft, ri, li)
 
             @pl.when(both)
             def _():
-                stackn_ref[sp] = ri
+                stackn_ref[sp] = far
 
             sp = jnp.where(both, sp + 1, sp)
             nxt = jnp.where(
                 anyl | anyr,
-                jnp.where(anyl, li, ri),
+                jnp.where(both, near, jnp.where(anyl, li, ri)),
                 jnp.int32(-1))
             sp = jnp.where(all_occ, 0, sp)
             nxt = jnp.where(all_occ, jnp.int32(-1), nxt)
