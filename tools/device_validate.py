@@ -381,6 +381,25 @@ def _distribution(jax, jnp, rt, mk, report):
     dt = loop_time(step, (jnp.float32(0.0), tile.sky_operand),
                    n_lo=2, n_hi=8, reps=3)
     rays = res * res * cfg.spp * cfg.spp * (1 + scene.n_lights)
+
+    # on-device parity vs the sweep engine at 64² (same key → same jitter
+    # chain; interpret-mode parity is pinned in CI, this is the compiled-
+    # kernel check)
+    import dataclasses
+
+    from u_4a_2s_p3d_raytracer_template2_tpu.models.whitted import (
+        render_tile,
+    )
+
+    sub = 64
+    ys2, xs2 = np.meshgrid(np.arange(sub, dtype=np.float32),
+                           np.arange(sub, dtype=np.float32), indexing="ij")
+    p2x = jnp.asarray(xs2.reshape(-1))
+    p2y = jnp.asarray(ys2.reshape(-1))
+    got = tile(p2x, p2y, key)
+    want = render_tile(scene, p2x, p2y,
+                       dataclasses.replace(cfg, engine="sweep"), key)
+    diff = jnp.abs(got - want)
     report["distribution_balls_low_512"] = {
         "samples_per_pixel": cfg.spp * cfg.spp,
         "skybox": "2048^2 x6 u8, packed-u32 deferred-sky epilogue",
@@ -388,6 +407,8 @@ def _distribution(jax, jnp, rt, mk, report):
         "mrays_per_s": round(rays / dt / 1e6, 2),
         "image_mean": round(float(img.mean()), 5),
         "image_std": round(float(img.std()), 5),
+        "device_parity_vs_sweep_64": {
+            "max": float(diff.max()), "mean": float(diff.mean())},
     }
     print("distribution:", report["distribution_balls_low_512"], flush=True)
 
