@@ -148,3 +148,43 @@ def test_clustered_tracer_matches_brute_large():
                                np.minimum(np.asarray(t_ref), 1e30),
                                rtol=1e-4, atol=1e-4)
     assert (np.asarray(oid) == np.asarray(id_ref)).mean() > 0.995
+
+
+def test_grid_quirk7_cross_cell_closest_is_physical():
+    """SURVEY quirk #7 (grid.cpp:262-307 carries `closestObj` across cells):
+    proven UNOBSERVABLE in docs/PARITY.md — the accept test requires a
+    current-cell hit, and a nearer object whose hit lies beyond its cell's
+    exit slab is re-found in the cell containing the hit point. This test
+    pins the construction that WOULD diverge if the carry were live: a big
+    sphere spanning many cells whose first-visited-cell hit distance exceeds
+    that cell's slab, plus a farther small sphere behind it."""
+    sd = rt.SceneDef()
+    sd.set_camera(eye=[0, 0, 20], at=[0, 0, 0], up=[0, 1, 0], fov=30,
+                  hither=0.01, res_x=8, res_y=8, aperture_ratio=0,
+                  focal_ratio=1)
+    m = sd.add_material([0.8, 0.2, 0.2], 1.0, [1, 1, 1], 0.0, 10, 0, 1)
+    # big sphere overlapping many grid cells; rays enter its AABB cells long
+    # before reaching the surface
+    sd.add_sphere([0.0, 0.0, 0.0], 4.0, m)
+    # farther small sphere hidden behind it on the axis
+    sd.add_sphere([0.0, 0.0, -7.0], 1.0, m)
+    # off-axis clutter so the grid resolution is non-trivial
+    for k in range(6):
+        sd.add_sphere([3.5 * np.cos(k), 3.5 * np.sin(k), 2.0 - k], 0.3, m)
+    sd.add_light([10, 10, 10], [1, 1, 1])
+    scene = rt.build_scene(sd, accel=1)
+    assert scene.grid is not None
+
+    n = 64
+    rng = np.random.default_rng(3)
+    o = np.broadcast_to(np.array([0, 0, 20], np.float32), (n, 3)).copy()
+    d = rng.normal(size=(n, 3)) * np.array([0.15, 0.15, 1.0])
+    d[:, 2] = -np.abs(d[:, 2]) - 0.5
+    d = (d / np.linalg.norm(d, axis=-1, keepdims=True)).astype(np.float32)
+    rays = Rays.make(o, d)
+
+    t_g, id_g = grid_closest_hit(scene.grid, scene.prims, rays)
+    t_b, id_b = closest_hit_brute(scene.prims, rays)
+    np.testing.assert_array_equal(np.asarray(id_g), np.asarray(id_b))
+    np.testing.assert_allclose(np.minimum(np.asarray(t_g), 1e30),
+                               np.minimum(np.asarray(t_b), 1e30), rtol=1e-5)

@@ -236,3 +236,92 @@ def test_packet_any_hit_matches_brute(max_t):
                                     interpret=True))
     # borderline t ≈ max_t hits may flip under f32 reassociation
     assert (occ == occ_ref).mean() > 0.995
+
+
+def test_packet_flat_multi_leaf_closest_matches_brute():
+    """The flat shallow-tree closest kernel with MULTIPLE leaves per type
+    (2..FLAT_MAX_LEAVES), including its per-ray tn<=best-t leaf culling —
+    soup()'s default sizes build single-leaf trees, which never exercised
+    the multi-leaf unroll (ADVICE r4)."""
+    # tris: 4 chunks/leaf = 512/leaf -> 1100 => 3 leaves
+    # spheres: 8 chunks/leaf = 1024/leaf -> 1200 => 2 leaves
+    scene = soup(n_sph=1200, n_tri=1100, seed=33)
+    pt = build_packets(np.asarray(scene.prims.params),
+                       np.asarray(scene.prims.ptype))
+    assert pt is not None
+    from u_4a_2s_p3d_raytracer_template2_tpu.accel.packets import (
+        FLAT_MAX_LEAVES,
+    )
+
+    assert 2 <= pt.tri_n_leaves <= FLAT_MAX_LEAVES, pt.tri_n_leaves
+    assert 2 <= pt.sph_n_leaves <= FLAT_MAX_LEAVES, pt.sph_n_leaves
+    for coherent in (False, True):
+        rays = make_rays(640, seed=7, coherent=coherent)
+        t, oid = packet_closest_hit(pt, scene.prims, rays, interpret=True)
+        tb, ob = closest_hit_brute(scene.prims, rays)
+        np.testing.assert_array_equal(np.asarray(oid), np.asarray(ob))
+        # winner ids are EXACTLY equal; t re-derivations differ only by f32
+        # re-association (same tolerance as the stack-walk parity tests)
+        np.testing.assert_allclose(np.minimum(np.asarray(t), 1e30),
+                                   np.minimum(np.asarray(tb), 1e30),
+                                   rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("max_t", [1.0, 1e30])
+def test_packet_any_hit_multi_matches_per_light(max_t):
+    """Fused multi-query any-hit (one kernel, L=3 segment sets + dead
+    masks) == three separate packet_any_hit calls."""
+    from u_4a_2s_p3d_raytracer_template2_tpu.accel.packets import (
+        multi_supported,
+        packet_any_hit_multi,
+    )
+
+    scene = soup(n_sph=900, n_tri=700, seed=13)
+    pt = build_packets(np.asarray(scene.prims.params),
+                       np.asarray(scene.prims.ptype))
+    assert pt is not None and multi_supported(pt)
+    rng = np.random.default_rng(9)
+    R = 500  # not a multiple of PACK: exercises padding
+    origin = rng.uniform(-6, 6, (R, 3)).astype(np.float32)
+    lights = np.array([[10, 10, 10], [-8, 6, 4], [0, -9, 7]], np.float32)
+    dirs = [jnp.asarray(lights[l][None, :] - origin) for l in range(3)]
+    dead = [jnp.asarray(rng.random(R) < 0.2) for _ in range(3)]
+
+    import jax.numpy as jnp2
+
+    occ = np.asarray(packet_any_hit_multi(
+        pt, scene.prims, jnp.asarray(origin), dirs, max_t, dead=dead,
+        interpret=True))
+    for l in range(3):
+        want = np.asarray(packet_any_hit(
+            pt, scene.prims,
+            Rays.make(origin, np.asarray(dirs[l])), max_t,
+            interpret=True, dead=dead[l]))
+        np.testing.assert_array_equal(occ[l], want)
+
+
+def test_packet_any_hit_multi_no_dead():
+    from u_4a_2s_p3d_raytracer_template2_tpu.accel.packets import (
+        multi_supported,
+        packet_any_hit_multi,
+    )
+
+    scene = soup(n_sph=400, n_tri=0, seed=17, planes=True, box=True)
+    pt = build_packets(np.asarray(scene.prims.params),
+                       np.asarray(scene.prims.ptype))
+    assert pt is not None and multi_supported(pt)
+    rng = np.random.default_rng(21)
+    R = 256
+    origin = rng.uniform(-6, 6, (R, 3)).astype(np.float32)
+    lights = np.array([[10, 10, 10], [0, -9, 7]], np.float32)
+    dirs = [jnp.asarray(lights[l][None, :] - origin) for l in range(2)]
+    occ = np.asarray(packet_any_hit_multi(
+        pt, scene.prims, jnp.asarray(origin), dirs, 1.0, interpret=True))
+    for l in range(2):
+        want = np.asarray(packet_any_hit(
+            pt, scene.prims, Rays.make(origin, np.asarray(dirs[l])), 1.0,
+            interpret=True))
+        np.testing.assert_array_equal(occ[l], want)
+
+
+import jax.numpy as jnp  # noqa: E402  (used by the multi-query tests)

@@ -77,6 +77,11 @@ class PacketTables:
     tri_lbase: jnp.ndarray = None  # [n_leaves] i32 (first chunk of leaf)
     sph_lbox: jnp.ndarray = None
     sph_lbase: jnp.ndarray = None
+    # per-CHUNK bboxes for the fused multi-query any-hit kernel (round 5):
+    # chunk-granularity culling is 8x finer than the tuned wide leaves, so
+    # whole packets skip chunks their shadow segments don't cross
+    tri_cbox: jnp.ndarray = None   # [NCt*6] f32
+    sph_cbox: jnp.ndarray = None   # [NCs*6] f32
     has_tri: bool = False
     has_sph: bool = False
     tri_nn: int = 2          # node count after padding (≥2 for child reads)
@@ -184,7 +189,14 @@ def build_packets(params: np.ndarray, ptype: np.ndarray,
             chunks, cids = _tri_chunk_tables(params, chunk_prims)
         else:
             chunks, cids = _sph_chunk_tables(params, chunk_prims)
-        out[name] = (nb, nm, nn, chunks, cids)
+        # per-chunk bboxes (fused multi-query any-hit culling)
+        nc = chunk_prims.shape[0]
+        ok = chunk_prims >= 0                              # [nc, LANE]
+        safe = np.maximum(chunk_prims, 0)
+        cmin = np.where(ok[..., None], bmin[safe], np.inf).min(axis=1)
+        cmax = np.where(ok[..., None], bmax[safe], -np.inf).max(axis=1)
+        cbox = np.concatenate([cmin, cmax], axis=-1).astype(np.float32)
+        out[name] = (nb, nm, nn, chunks, cids, cbox.reshape(-1))
         wmin = np.minimum(wmin, nbox[0, 0:3])
         wmax = np.maximum(wmax, nbox[0, 3:6])
 
@@ -197,8 +209,9 @@ def build_packets(params: np.ndarray, ptype: np.ndarray,
             return (jnp.zeros(12, jnp.float32), jnp.zeros(4, jnp.int32),
                     jnp.zeros((1, rows, LANE), jnp.float32),
                     jnp.full(LANE, -1, jnp.int32), False, 2,
-                    jnp.zeros(6, jnp.float32), jnp.zeros(1, jnp.int32), 0)
-        nb, nm, nn, chunks, cids = v
+                    jnp.zeros(6, jnp.float32), jnp.zeros(1, jnp.int32), 0,
+                    jnp.zeros(6, jnp.float32))
+        nb, nm, nn, chunks, cids, cbox = v
         # flat leaf table (build order): leaf nodes' bboxes + first chunk
         nm2 = np.asarray(nm).reshape(-1, 2)
         nb2 = np.asarray(nb).reshape(-1, 6)
@@ -207,11 +220,12 @@ def build_packets(params: np.ndarray, ptype: np.ndarray,
         lbase = (nm2[leaf_rows, 0] * leaf_chunks[name]).astype(np.int32)
         return (jnp.asarray(nb), jnp.asarray(nm), jnp.asarray(chunks),
                 jnp.asarray(cids), True, nn,
-                jnp.asarray(lbox), jnp.asarray(lbase), len(leaf_rows))
+                jnp.asarray(lbox), jnp.asarray(lbase), len(leaf_rows),
+                jnp.asarray(cbox))
 
-    t_nb, t_nm, t_ch, t_id, has_tri, t_nn, t_lb, t_lba, t_nl = \
+    t_nb, t_nm, t_ch, t_id, has_tri, t_nn, t_lb, t_lba, t_nl, t_cb = \
         unpack("tri", 16)
-    s_nb, s_nm, s_ch, s_id, has_sph, s_nn, s_lb, s_lba, s_nl = \
+    s_nb, s_nm, s_ch, s_id, has_sph, s_nn, s_lb, s_lba, s_nl, s_cb = \
         unpack("sph", 8)
     if not np.isfinite(wmin).all():
         wmin = np.zeros(3, np.float32)
@@ -222,6 +236,7 @@ def build_packets(params: np.ndarray, ptype: np.ndarray,
         world_min=jnp.asarray(wmin.astype(np.float32)),
         world_max=jnp.asarray(wmax.astype(np.float32)),
         tri_lbox=t_lb, tri_lbase=t_lba, sph_lbox=s_lb, sph_lbase=s_lba,
+        tri_cbox=t_cb, sph_cbox=s_cb,
         has_tri=has_tri, has_sph=has_sph, tri_nn=t_nn, sph_nn=s_nn,
         tri_n_leaves=t_nl, sph_n_leaves=s_nl,
         tri_leaf_chunks=leaf_chunks["tri"],
@@ -613,6 +628,123 @@ def _make_flat_closest_kernel(kind: str, pack: int, leaf_chunks: int,
     return kernel
 
 
+# Fused MULTI-QUERY any-hit (round 5, VERDICT r4 #3): balls_high's 3-light
+# shadow pass was the single biggest measured frame sink (68 ms of a 108 ms
+# depth-1 pass — 23 ms/light, docs/ARCHITECTURE.md #16). Two levers, both in
+# one kernel:
+#   * CHUNK-granularity culling: the wide tuned leaves (8 lane blocks for
+#     spheres) are right for closest-hit walks, but a shadow segment from
+#     inside the ball cloud to the light only CROSSES a 1-D core of it —
+#     per-chunk bboxes (8x finer) let whole packets skip chunks no lane's
+#     segment enters. Statically unrolled like the flat closest kernel: no
+#     stack, no scalar walk.
+#   * All L light queries ride ONE kernel: shared dispatch, shared chunk
+#     loop, per-(chunk, light) skip guards; a chunk is folded only against
+#     lights that still have unresolved lanes entering it.
+# The shadow segments per light differ per ray, so each light brings its own
+# (om, dm) block; occlusion per light is a [pack, 1] row scratch.
+MULTI_MAX_CHUNKS = 64
+
+
+def _make_flat_any_multi_kernel(kind: str, pack: int, max_t: float,
+                                n_chunks: int, n_lights: int):
+    fold = _FOLDS[kind]
+
+    def kernel(*refs):
+        cbox_ref, chunks_ref = refs[0], refs[1]
+        ray_refs = refs[2:2 + 2 * n_lights]
+        occ_ref = refs[2 + 2 * n_lights]
+        ocs = refs[3 + 2 * n_lights: 3 + 3 * n_lights]
+
+        cols = []
+        quads = []
+        invs = []
+        for l in range(n_lights):
+            om = ray_refs[2 * l][:]
+            dm = ray_refs[2 * l + 1][:]
+            c = (om[:, 0:1], om[:, 1:2], om[:, 2:3],
+                 dm[:, 0:1], dm[:, 1:2], dm[:, 2:3])
+            cols.append(c)
+            quads.append((om[:, 3:4], om[:, 4:5], om[:, 5:6], om[:, 6:7]))
+            invs.append((_sinv(c[3]), _sinv(c[4]), _sinv(c[5])))
+            # pad/dead rays start occluded: their chunk guards never fire
+            ocs[l][:] = 1.0 - om[:, 7:8]
+
+        for c in range(n_chunks):
+            b6 = 6 * c
+            for l in range(n_lights):
+                ox, oy, oz = cols[l][0], cols[l][1], cols[l][2]
+                ivx, ivy, ivz = invs[l]
+                lox = (cbox_ref[b6] - ox) * ivx
+                hix = (cbox_ref[b6 + 3] - ox) * ivx
+                loy = (cbox_ref[b6 + 1] - oy) * ivy
+                hiy = (cbox_ref[b6 + 4] - oy) * ivy
+                loz = (cbox_ref[b6 + 2] - oz) * ivz
+                hiz = (cbox_ref[b6 + 5] - oz) * ivz
+                tn = jnp.maximum(jnp.maximum(jnp.minimum(lox, hix),
+                                             jnp.minimum(loy, hiy)),
+                                 jnp.minimum(loz, hiz))
+                tf = jnp.minimum(jnp.minimum(jnp.maximum(lox, hix),
+                                             jnp.maximum(loy, hiy)),
+                                 jnp.maximum(loz, hiz))
+                use = ((tn <= tf) & (tf > 0.0) & (tn < max_t)
+                       & (ocs[l][:] < 0.5))
+                need = jnp.max(jnp.where(use, 1.0, 0.0)) > 0.0
+
+                @pl.when(need)
+                def _(c=c, l=l):
+                    t = fold(chunks_ref[c], cols[l], quads[l])
+                    hit = jnp.max(jnp.where(t < max_t, 1.0, 0.0),
+                                  axis=-1, keepdims=True)
+                    ocs[l][:] = jnp.maximum(ocs[l][:], hit)
+
+        used = pack // LANE
+        orows = occ_ref.shape[0] // n_lights
+        outs = []
+        for l in range(n_lights):
+            o = ocs[l][:].reshape(used, LANE)
+            if orows > used:
+                o = jnp.concatenate(
+                    [o, jnp.zeros((orows - used, LANE), jnp.float32)])
+            outs.append(o)
+        occ_ref[:] = jnp.concatenate(outs, axis=0)
+
+    return kernel
+
+
+def _walk_any_multi(kind, cbox, chunks, oms, dms, pack, max_t, interpret):
+    """Fused flat any-hit: L queries per ray in one kernel. Returns
+    [L, R] occlusion f32."""
+    n_lights = len(oms)
+    R = oms[0].shape[0]
+    nc = chunks.shape[0]
+    n_packs = R // pack
+    orows = _out_rows(pack)
+    ray_ops = []
+    for om, dm in zip(oms, dms):
+        ray_ops += [om, dm]
+    occ = pl.pallas_call(
+        _make_flat_any_multi_kernel(kind, pack, float(max_t), nc, n_lights),
+        grid=(n_packs,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ] + [_ray_blocks(pack)] * (2 * n_lights),
+        out_specs=pl.BlockSpec((n_lights * orows, LANE), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_packs * n_lights * orows, LANE),
+                                       jnp.float32),
+        scratch_shapes=[pltpu.VMEM((pack, 1), jnp.float32)] * n_lights,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(cbox, chunks, *ray_ops)
+    used = pack // LANE
+    occ = occ.reshape(n_packs, n_lights, orows, LANE)[:, :, :used]
+    # [n_packs, L, used, LANE] -> [L, R]
+    return occ.transpose(1, 0, 2, 3).reshape(n_lights, -1)
+
+
 # ---------------------------------------------------------------------------
 # pallas_call wrappers
 
@@ -943,3 +1075,96 @@ def _packet_any_hit(pt: PacketTables, prims: Primitives, rays: Rays,
         occ = _typed_any(_box_t, prims.box_p, prims.box_ids,
                          rays.origin, rays.direction, 2048, occ, max_t)
     return occ
+
+
+def multi_supported(pt: PacketTables) -> bool:
+    """Every tree'd type fits the fused flat multi-query kernel."""
+    if pt is None:
+        return False
+    ok = pt.has_tri or pt.has_sph
+    if pt.has_tri:
+        ok &= (pt.tri_cbox is not None
+               and pt.tri_chunks.shape[0] <= MULTI_MAX_CHUNKS)
+    if pt.has_sph:
+        ok &= (pt.sph_cbox is not None
+               and pt.sph_chunks.shape[0] <= MULTI_MAX_CHUNKS)
+    return bool(ok)
+
+
+def packet_any_hit_multi(pt: PacketTables, prims: Primitives, origin,
+                         dirs, max_t: float, dead=None,
+                         interpret: bool | None = None):
+    """L occlusion queries per ray in ONE fused kernel (see the design note
+    above _make_flat_any_multi_kernel). ``origin`` [R,3] shared; ``dirs``
+    a tuple of L [R,3] segment vectors (unnormalized light vectors, the
+    reference's shadow convention); ``dead`` an optional tuple of L [R]
+    bool masks. Returns [L, R] bool, elementwise equal to L separate
+    packet_any_hit calls (tests/test_packets.py). Caller must check
+    multi_supported(pt); types without trees fold densely per query."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _packet_any_hit_multi(pt, prims, origin, tuple(dirs),
+                                 float(max_t),
+                                 None if dead is None else tuple(dead),
+                                 bool(interpret))
+
+
+@functools.partial(jax.jit, static_argnames=("max_t", "interpret"))
+def _packet_any_hit_multi(pt, prims, origin, dirs, max_t, dead, interpret):
+    pt = jax.lax.stop_gradient(pt)
+    origin = jax.lax.stop_gradient(origin)
+    dirs = jax.lax.stop_gradient(dirs)
+    L = len(dirs)
+    R = origin.shape[0]
+    pack = PACK
+    opad = (-R) % pack
+    oms = []
+    dms = []
+    for l in range(L):
+        o, d = origin, dirs[l]
+        if opad:
+            o = jnp.concatenate([o, jnp.zeros((opad, 3), o.dtype)])
+            d = jnp.concatenate(
+                [d, jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], d.dtype),
+                                     (opad, 3))])
+        om, dm = _ray_lhs(o, d)
+        om = _mark_valid(om, R)
+        if dead is not None and dead[l] is not None:
+            alive = ~dead[l]
+            if opad:
+                alive = jnp.concatenate([alive, jnp.zeros((opad,), bool)])
+            om = om.at[:, 7].set(om[:, 7] * alive.astype(om.dtype))
+        oms.append(om)
+        dms.append(dm)
+
+    occ = jnp.zeros((L, oms[0].shape[0]), jnp.float32)
+    if pt.has_tri:
+        occ = jnp.maximum(occ, _walk_any_multi(
+            "tri", pt.tri_cbox, pt.tri_chunks, oms, dms, pack, max_t,
+            interpret))
+    if pt.has_sph:
+        occ = jnp.maximum(occ, _walk_any_multi(
+            "sph", pt.sph_cbox, pt.sph_chunks, oms, dms, pack, max_t,
+            interpret))
+    occ = occ[:, :R] > 0.5
+
+    from ..ops.intersect import (_box_t, _plane_t, _sphere_t, _triangle_t,
+                                 _typed_any)
+
+    rows = []
+    for l in range(L):
+        o = occ[l]
+        if not pt.has_tri and prims.n_tri > 0:
+            o = _typed_any(_triangle_t, prims.tri_p, prims.tri_ids,
+                           origin, dirs[l], 2048, o, max_t)
+        if not pt.has_sph and prims.n_sph > 0:
+            o = _typed_any(_sphere_t, prims.sph_p, prims.sph_ids,
+                           origin, dirs[l], 2048, o, max_t)
+        if prims.n_pl > 0:
+            o = _typed_any(_plane_t, prims.pl_p, prims.pl_ids,
+                           origin, dirs[l], 2048, o, max_t)
+        if prims.n_box > 0:
+            o = _typed_any(_box_t, prims.box_p, prims.box_ids,
+                           origin, dirs[l], 2048, o, max_t)
+        rows.append(o)
+    return jnp.stack(rows)

@@ -160,6 +160,18 @@ def cmd_fit(args):
         from .core.build import with_prim_params
         from .parallel.dist import lr_scales as _lr_scales
 
+        if scene.accel_type != C.ACCEL_NONE:
+            # host-built accel tables carry baked GEOMETRY (packet chunk
+            # params, grid cells, BVH boxes) that with_prim_params cannot
+            # refresh — traversing them while moving primitives would
+            # silently miss hits near the moved silhouette. Force the
+            # accel-free brute path, which reads the live differentiable
+            # per-type tables every step (ADVICE r4 medium).
+            print("note: scene declares an accelerator; geometry fit "
+                  "forces accel_impl='brute' (accel tables hold stale "
+                  "geometry during a fit)")
+            cfg = dataclasses.replace(cfg, accel_impl="brute")
+
         true_params = np.asarray(scene.prims.params)
         ptype = np.asarray(scene.prims.ptype)
         sph_rows = np.nonzero(ptype == C.SPHERE)[0]

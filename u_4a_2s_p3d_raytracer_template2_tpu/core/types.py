@@ -170,7 +170,11 @@ class Scene:
     lights: Lights
     camera: Camera
     bg_color: jnp.ndarray           # [3]
-    skybox: jnp.ndarray             # [6, H, W, 3] f32 (dummy [6,1,1,3] if absent)
+    # [6, H, W, 3] cubemap: uint8 when loaded from disk (io/skybox.py —
+    # reference u8 semantics, rides the packed-u32 gather path), f32 for
+    # synthetic/test cubemaps; dummy f32 [6,1,1,3] when absent. Downstream
+    # code branches on dtype (ops/shade.skybox_color vs the packed path).
+    skybox: jnp.ndarray
     bvh: Optional[BvhArrays]
     grid: Optional[GridArrays]
     clusters: Optional[Any]         # accel.clusters.ClusterTables
@@ -271,6 +275,11 @@ class RenderConfig:
     engine: str = "sweep"
     # queue capacity = ceil(primary_count * this) in wavefront mode
     wavefront_capacity: float = 1.0
+    # Route engine="megakernel" through the operand-streamed path even off
+    # TPU (models/whitted_streamed.py; the primal runs as the kernel's
+    # pure-XLA twin there — same math, CPU-fast). For CPU tests and the
+    # multichip dryrun; on TPU the flag is irrelevant.
+    megakernel_interpret: bool = False
 
     # BVH-mode traversal implementation (closest + any-hit dispatch in
     # models/whitted.trace_closest/trace_shadow):
@@ -282,6 +291,9 @@ class RenderConfig:
     #                the reference-layout walk, kept dispatchable so its
     #                cost is measurable, not dead weight (VERDICT r2 1c)
     #   "brute"    — dense brute force (ops/intersect.py)
+    # GRID-mode scenes build no clusters, so there only "perray" and "brute"
+    # opt out of the TPU packet routing; any other value (incl. an explicit
+    # "clusters") rides the packet kernel — see trace_closest.
     accel_impl: str = "auto"
 
     def with_scene_flags(self, scene: Scene) -> "RenderConfig":

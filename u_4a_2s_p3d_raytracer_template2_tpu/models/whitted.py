@@ -86,16 +86,18 @@ def trace_closest(scene: Scene, rays: Rays, cfg: RenderConfig = None):
         # tools/bench_grid.py / docs/ARCHITECTURE.md). Both paths return
         # the physical closest hit, so images are identical.
         # accel_impl="perray" forces the real DDA (its cost stays
-        # measurable, not dead weight).
+        # measurable, not dead weight); "brute" skips the grid entirely
+        # (geometry fits: accel tables hold stale geometry).
         impl = _bvh_impl(scene, cfg)
         if (impl not in ("perray", "brute") and scene.packets is not None
                 and jax.default_backend() == "tpu"):
             from ..accel.packets import packet_closest_hit
 
             return packet_closest_hit(scene.packets, scene.prims, rays)
-        from ..accel.traverse import grid_closest_hit
+        if impl != "brute":
+            from ..accel.traverse import grid_closest_hit
 
-        return grid_closest_hit(scene.grid, scene.prims, rays)
+            return grid_closest_hit(scene.grid, scene.prims, rays)
     return intersect.closest_hit_brute(scene.prims, rays)
 
 
@@ -141,10 +143,11 @@ def trace_shadow(scene: Scene, rays: Rays, max_t, cfg: RenderConfig = None,
 
             return packet_any_hit(scene.packets, scene.prims, rays,
                                   float(max_t), dead=dead)
-        from ..accel.traverse import grid_any_hit
+        if impl != "brute" or initfail:
+            from ..accel.traverse import grid_any_hit
 
-        return grid_any_hit(scene.grid, scene.prims, rays, max_t,
-                            init_fail_occludes=initfail)
+            return grid_any_hit(scene.grid, scene.prims, rays, max_t,
+                                init_fail_occludes=initfail)
     return intersect.any_hit_brute(scene.prims, rays, max_t)
 
 
@@ -152,23 +155,66 @@ def trace_shadow(scene: Scene, rays: Rays, max_t, cfg: RenderConfig = None,
 # direct lighting (processLight + the soft-shadow variants, main.cpp:593-630)
 
 
+def _shadow_multi_rows(scene: Scene, cfg: RenderConfig, hit_point, precise,
+                       normal, active, rays: Rays, n_lights: int):
+    """[L, R] occlusion via the fused multi-query any-hit kernel
+    (accel/packets.packet_any_hit_multi) when the scene's traversal routes
+    to packets on TPU and the trees fit the flat-multi regime; None
+    otherwise (per-light trace_shadow runs as before). balls_high's 3-light
+    shadow pass was 68 ms of a 108 ms depth-1 pass (docs/ARCHITECTURE.md
+    #16) — this shares the chunk loop across lights and culls at chunk
+    granularity."""
+    if n_lights < 2 or scene.n_lights < 2:
+        return None
+    if scene.accel_type not in (C.ACCEL_BVH, C.ACCEL_GRID):
+        return None
+    if scene.packets is None or jax.default_backend() != "tpu":
+        return None
+    impl = _bvh_impl(scene, cfg)
+    if impl in ("perray", "brute", "clusters"):
+        return None
+    if (scene.accel_type == C.ACCEL_GRID and cfg is not None
+            and cfg.reference_grid_shadow_initfail):
+        return None  # only the real DDA models the init-failure quirk
+    from ..accel.packets import multi_supported, packet_any_hit_multi
+
+    if not multi_supported(scene.packets):
+        return None
+    Lvs = []
+    deads = []
+    for li in range(n_lights):
+        Lv = scene.lights.position[li][None, :] - hit_point
+        Lvs.append(Lv)
+        deads.append(~(active & (dot(Lv, normal) > 0.0)))
+    max_t = C.BIG if cfg.shadow_unbounded else 1.0
+    return packet_any_hit_multi(scene.packets, scene.prims, precise, Lvs,
+                                float(max_t), dead=deads)
+
+
 def direct_lighting(scene: Scene, rays: Rays, hit_point, precise, normal,
                     mat: shade.MatView, active, cfg: RenderConfig, key,
                     shadow_offsets=None):
     color = jnp.zeros_like(hit_point)
     n_lights = max(scene.n_lights, 1)
+
+    multi_occ = None
+    if not cfg.soft_shadow:
+        multi_occ = _shadow_multi_rows(scene, cfg, hit_point, precise,
+                                       normal, active, rays, n_lights)
+
     for li in range(n_lights):
         lpos = scene.lights.position[li]
         lcol = scene.lights.color[li][None, :]
 
-        def one_sample(position, light_color):
+        def one_sample(position, light_color, occluded=None, li=li):
             Lv = position - hit_point  # unnormalized (main.cpp:627)
             facing = dot(Lv, normal) > 0.0
-            shadow_rays = Rays(precise, Lv, rays.time)
-            max_t = C.BIG if cfg.shadow_unbounded else 1.0
-            # lanes whose contribution is masked below need no traversal
-            occluded = trace_shadow(scene, shadow_rays, max_t, cfg,
-                                    dead=~(active & facing))
+            if occluded is None:
+                shadow_rays = Rays(precise, Lv, rays.time)
+                max_t = C.BIG if cfg.shadow_unbounded else 1.0
+                # lanes whose contribution is masked below need no traversal
+                occluded = trace_shadow(scene, shadow_rays, max_t, cfg,
+                                        dead=~(active & facing))
             lit = active & facing & ~occluded
             return shade.blinn_phong(Lv, lit, light_color, mat,
                                      rays.direction, normal)
@@ -200,7 +246,9 @@ def direct_lighting(scene: Scene, rays: Rays, hit_point, precise, normal,
                    + jnp.stack([jx, jy, jnp.zeros_like(jx)], axis=-1))
             color += one_sample(pos, lcol)
         else:
-            color += one_sample(lpos[None, :], lcol)
+            color += one_sample(
+                lpos[None, :], lcol,
+                occluded=None if multi_occ is None else multi_occ[li])
     return color
 
 
@@ -394,10 +442,28 @@ def trace_rays(scene: Scene, rays: Rays, cfg: RenderConfig, key,
 
 def _trace_fn(cfg: RenderConfig):
     if cfg.engine == "megakernel":
-        # render_tile sees the scene as a traced pytree, which cannot be
-        # baked into a kernel — render_image dispatches the real megakernel
-        # path; a direct render_tile call degrades to the wavefront engine.
-        cfg = dataclasses.replace(cfg, engine="wavefront")
+        # render_tile sees the scene as a traced pytree: the operand-STREAMED
+        # megakernel (models/whitted_streamed.py) serves exactly that case —
+        # scene tables ride as SMEM operands, custom_vjp makes it
+        # differentiable — so sharded renders (parallel/dist.py) and fit
+        # forwards run at megakernel speed. Scenes over the unroll ceiling,
+        # and non-TPU backends (unless megakernel_interpret explicitly opts
+        # into interpret mode for tests/dryruns), degrade to wavefront.
+        from .whitted_streamed import supports as _ws_supports
+        from .whitted_streamed import trace_rays_streamed
+
+        def fn(scene, rays, cfg, key, shadow_offsets=None):
+            if _ws_supports(scene, cfg) and (
+                    cfg.megakernel_interpret
+                    or jax.default_backend() == "tpu"):
+                return trace_rays_streamed(scene, rays, cfg, key,
+                                           shadow_offsets)
+            from .whitted_wavefront import trace_rays_wavefront
+
+            return trace_rays_wavefront(
+                scene, rays, cfg, key, shadow_offsets,
+                capacity_factor=cfg.wavefront_capacity)
+        return fn
     if cfg.engine == "wavefront":
         from .whitted_wavefront import trace_rays_wavefront
 

@@ -578,6 +578,26 @@ def _node(consts, cfg, o, d, ior_in, depth, need_inv, stream, path,
     return color, sky
 
 
+def _merge_sky(sky):
+    """Exclusive-accumulate sky entries sharing a path-cover slot (see
+    _sky_layout): weights add (at most one is nonzero per lane), the nonzero
+    entry's direction wins. Returns {first_row: ([w3], [d3])}. Shared by the
+    baked kernel, the operand-streamed kernel, and its XLA twin
+    (models/whitted_streamed.py)."""
+    merged = {}
+    for row, sw, sd in sky:
+        if row not in merged:
+            merged[row] = (list(sw), list(sd))
+        else:
+            w0, d0 = merged[row]
+            nz = (sw[0] + sw[1] + sw[2]) > 0.0
+            merged[row] = (
+                [w0[ax] + sw[ax] for ax in range(3)],
+                [jnp.where(nz, sd[ax], d0[ax]) for ax in range(3)],
+            )
+    return merged
+
+
 def _build_kernel(consts: _SceneConsts, cfg):
     need_inv = any(ob["ptype"] == C.AABOX for ob in consts.objs)
     n_rows, rowmap = _stream_layout(consts, cfg)
@@ -600,20 +620,7 @@ def _build_kernel(consts: _SceneConsts, cfg):
         col, sky = _node(consts, cfg, o, d, jnp.ones_like(o[0]), 1,
                          need_inv, stream, 0, skymap if n_sky else None)
         if n_sky:
-            # exclusive-accumulate entries sharing a path-cover slot (see
-            # _sky_layout): weights add (at most one is nonzero per lane),
-            # the nonzero entry's direction wins
-            merged = {}
-            for row, sw, sd in sky:
-                if row not in merged:
-                    merged[row] = (list(sw), list(sd))
-                else:
-                    w0, d0 = merged[row]
-                    nz = (sw[0] + sw[1] + sw[2]) > 0.0
-                    merged[row] = (
-                        [w0[ax] + sw[ax] for ax in range(3)],
-                        [jnp.where(nz, sd[ax], d0[ax]) for ax in range(3)],
-                    )
+            merged = _merge_sky(sky)
             for row, (sw, sd) in merged.items():
                 for ax in range(3):
                     sky_out[row + ax] = sw[ax]

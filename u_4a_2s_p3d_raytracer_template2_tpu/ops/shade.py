@@ -221,7 +221,11 @@ def pack_skybox_u32(skybox) -> jnp.ndarray:
     in cubemap lookup cost; unpacking is vector bit-math. Only valid for
     u8 cubemaps (packing a float cubemap would quantize)."""
     s = jnp.asarray(skybox)
-    assert jnp.issubdtype(s.dtype, jnp.integer), "pack requires u8 skybox"
+    if not jnp.issubdtype(s.dtype, jnp.integer):
+        # a bare assert would vanish under python -O and silently bit-mangle
+        # a float cubemap
+        raise TypeError(
+            f"pack_skybox_u32 requires a u8 cubemap, got dtype {s.dtype}")
     s = s.astype(jnp.uint32)
     return (s[..., 0] << 16) | (s[..., 1] << 8) | s[..., 2]
 
