@@ -438,7 +438,7 @@ def cmd_live(args):
 
     enable_compilation_cache()
 
-    from .io.image import save_png, to_u8_device
+    from .io.image import ansi_halfblock, preview_u8, save_png, to_u8_device
     from .models.whitted import render_image
     from .ops.camera import orbit_eye, with_eye
 
@@ -463,12 +463,20 @@ def cmd_live(args):
         cam = with_eye(cam0, orbit_eye(cam0, alpha, beta, r))
         return dc.replace(scene, camera=cam)
 
-    def render(use_cfg, key):
+    def render(use_cfg, key, show=None):
         t0 = time.perf_counter()
         img = render_image(cur_scene(), use_cfg, key,
                            tile_rows=args.tile_rows)
         jax.block_until_ready(img.sum())
         dt = time.perf_counter() - t0
+        # the visible image: an ANSI 24-bit half-block blit of a
+        # device-downsampled frame — the terminal twin of the reference
+        # viewer's per-frame drawPoints blit (main.cpp:237-259). ~11 KB of
+        # u8 through the ~20 KB/s tunnel at the default 80 columns.
+        if args.preview_cols > 0:
+            print(ansi_halfblock(preview_u8(show if show is not None
+                                            else img, args.preview_cols)),
+                  flush=True)
         print(f"alpha={alpha:7.2f} beta={beta:6.2f} r={r:6.2f}  "
               f"{dt * 1e3:7.1f} ms  {1.0 / dt:6.2f} FPS  "
               f"{rays_per_frame / dt / 1e6:7.2f} Mrays/s", flush=True)
@@ -492,7 +500,7 @@ def cmd_live(args):
             continue
         if ch == " ":
             n_acc += 1
-            img = render(acc_cfg, jax.random.PRNGKey(n_acc))
+            img = render(acc_cfg, jax.random.PRNGKey(n_acc), show=None)
             acc = img if acc is None else acc + img
             print(f"  accumulated {n_acc} samples", flush=True)
             continue
@@ -605,10 +613,13 @@ def main(argv=None):
     pv.set_defaults(fn=cmd_view)
 
     pl = sub.add_parser(
-        "live", help="terminal-interactive viewer: stdin key loop "
-        "(a/d/w/s orbit, +/- zoom, SPACE accumulate, r reset, c coords, "
-        "q quit)")
+        "live", help="terminal-interactive viewer: ANSI half-block image "
+        "per frame + stdin key loop (a/d/w/s orbit, +/- zoom, SPACE "
+        "accumulate, r reset, c coords, q quit)")
     common(pl)
+    pl.add_argument("--preview-cols", type=int, default=80,
+                    help="terminal preview width in characters "
+                    "(0 disables the preview)")
     pl.add_argument("-o", "--output", default="Live_Output.png")
     pl.set_defaults(fn=cmd_live)
 
