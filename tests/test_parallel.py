@@ -142,3 +142,45 @@ def test_sharded_packets_traversal():
     # few-ulp bound: per-shard R changes the compiler's FMA contraction in
     # the shading chain around the (bit-identical) traversal
     np.testing.assert_allclose(img_sharded, img_single, atol=1e-6, rtol=0)
+
+
+def test_train_step_full_freeze_matches_zero_scales():
+    """Static `freeze` stop-gradients groups that zero scales merely skip
+    UPDATING — results must be identical for the live groups (the frozen
+    groups' backward work is dead-code-eliminated, not changed)."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    import u_4a_2s_p3d_raytracer_template2_tpu as rt
+    from u_4a_2s_p3d_raytracer_template2_tpu.models.scenes import mount_scene
+    from u_4a_2s_p3d_raytracer_template2_tpu.models.whitted import (
+        render_image,
+    )
+    from u_4a_2s_p3d_raytracer_template2_tpu.parallel.dist import (
+        default_mesh,
+        lr_scales,
+        train_step_full,
+    )
+
+    scene = rt.build_scene(mount_scene(res=8))
+    cfg = rt.RenderConfig(max_depth=2)
+    mesh = default_mesh(2)
+    target = render_image(scene, cfg)
+    sc = lr_scales(materials=1.0, light_pos=1.0, camera=0.0, geometry=0.0)
+    key = jax.random.PRNGKey(3)
+    s_a, loss_a = train_step_full(scene, target, cfg, mesh, 0.05, key, sc)
+    s_b, loss_b = train_step_full(scene, target, cfg, mesh, 0.05, key, sc,
+                                  ("geometry", "camera"))
+    assert float(loss_a) == float(loss_b)
+    for a, b in zip(jax.tree.leaves(s_a.materials),
+                    jax.tree.leaves(s_b.materials)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(s_a.lights.position),
+                               np.asarray(s_b.lights.position),
+                               rtol=1e-6, atol=1e-7)
+    # frozen groups unchanged in both (zero scale / zero grad)
+    np.testing.assert_array_equal(np.asarray(s_b.camera.eye),
+                                  np.asarray(scene.camera.eye))

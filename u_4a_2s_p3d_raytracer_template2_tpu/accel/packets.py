@@ -628,22 +628,25 @@ def _make_flat_closest_kernel(kind: str, pack: int, leaf_chunks: int,
     return kernel
 
 
-# Fused MULTI-QUERY any-hit (round 5, VERDICT r4 #3): balls_high's 3-light
-# shadow pass was the single biggest measured frame sink (68 ms of a 108 ms
-# depth-1 pass — 23 ms/light, docs/ARCHITECTURE.md #16). Two levers, both in
-# one kernel:
-#   * CHUNK-granularity culling: the wide tuned leaves (8 lane blocks for
-#     spheres) are right for closest-hit walks, but a shadow segment from
-#     inside the ball cloud to the light only CROSSES a 1-D core of it —
-#     per-chunk bboxes (8x finer) let whole packets skip chunks no lane's
-#     segment enters. Statically unrolled like the flat closest kernel: no
-#     stack, no scalar walk.
-#   * All L light queries ride ONE kernel: shared dispatch, shared chunk
-#     loop, per-(chunk, light) skip guards; a chunk is folded only against
-#     lights that still have unresolved lanes entering it.
-# The shadow segments per light differ per ray, so each light brings its own
-# (om, dm) block; occlusion per light is a [pack, 1] row scratch.
-MULTI_MAX_CHUNKS = 64
+# Fused MULTI-QUERY any-hit (round 5, VERDICT r4 #3) — a MEASURED NEGATIVE
+# RESULT, kept dispatchable (accel_impl="multi") so the number stays
+# reproducible. The idea: balls_high's 3-light shadow pass was the biggest
+# frame sink (23 ms/light, docs/ARCHITECTURE.md #16); fuse the L queries
+# into one kernel with CHUNK-granularity bbox culling (8x finer than the
+# tuned wide leaves) and per-(chunk, light) skip guards. Measured on v5e
+# (tools/bench_r5.py, hitpoint->light queries, 512^2): 3 separate stack
+# walks 53 ms TOTAL vs 169 ms fused — 3x SLOWER, because the static unroll
+# pays its ~0.6 us slab+reduce+guard machinery for all 72 chunks x 3 lights
+# on EVERY packet, while the stack walk's whole-packet early exit (all 256
+# lanes occluded -> stop, common for from-inside-the-cloud segments)
+# finishes in ~25 node visits per light. The per-light walk's fold work IS
+# the floor at this tree shape.
+# Each light brings its own (om, dm) block (segments differ per ray);
+# occlusion per light is a [pack, 1] row scratch.
+# cap on the static chunk unroll: balls_high (7,381 spheres) builds 9
+# leaves x 8 = 72 chunks incl. leaf padding (pad chunks have empty cboxes
+# -> their slab never passes)
+MULTI_MAX_CHUNKS = 96
 
 
 def _make_flat_any_multi_kernel(kind: str, pack: int, max_t: float,

@@ -291,6 +291,10 @@ class RenderConfig:
     #                the reference-layout walk, kept dispatchable so its
     #                cost is measurable, not dead weight (VERDICT r2 1c)
     #   "brute"    — dense brute force (ops/intersect.py)
+    #   "multi"    — like "auto", plus multi-light hard shadows ride the
+    #                fused multi-query any-hit kernel (measured SLOWER than
+    #                per-light walks on balls_high — kept dispatchable as a
+    #                reproducible negative result, accel/packets.py)
     # GRID-mode scenes build no clusters, so there only "perray" and "brute"
     # opt out of the TPU packet routing; any other value (incl. an explicit
     # "clusters") rides the packet kernel — see trace_closest.

@@ -50,7 +50,9 @@ def _bvh_impl(scene: Scene, cfg: RenderConfig = None) -> str:
     docs/ARCHITECTURE.md), and the XLA cluster sweeps everywhere else
     (CPU tests, virtual meshes, scenes too small for a tree)."""
     impl = getattr(cfg, "accel_impl", "auto") if cfg is not None else "auto"
-    if impl == "auto":
+    if impl in ("auto", "multi"):
+        # "multi" only opts shadow queries into the fused multi-light
+        # kernel (_shadow_multi_rows); closest-hit routes like "auto"
         if scene.packets is not None and jax.default_backend() == "tpu":
             return "packets"
         return "clusters"
@@ -158,12 +160,18 @@ def trace_shadow(scene: Scene, rays: Rays, max_t, cfg: RenderConfig = None,
 def _shadow_multi_rows(scene: Scene, cfg: RenderConfig, hit_point, precise,
                        normal, active, rays: Rays, n_lights: int):
     """[L, R] occlusion via the fused multi-query any-hit kernel
-    (accel/packets.packet_any_hit_multi) when the scene's traversal routes
-    to packets on TPU and the trees fit the flat-multi regime; None
-    otherwise (per-light trace_shadow runs as before). balls_high's 3-light
-    shadow pass was 68 ms of a 108 ms depth-1 pass (docs/ARCHITECTURE.md
-    #16) — this shares the chunk loop across lights and culls at chunk
-    granularity."""
+    (accel/packets.packet_any_hit_multi) — OPT-IN via
+    ``accel_impl="multi"``, measured SLOWER than per-light stack walks on
+    the scene it targeted: balls_high hitpoint->light queries run 53 ms as
+    3 separate walks vs 169 ms fused (tools/bench_r5.py, v5e). The static
+    chunk unroll pays ~0.6 us of slab+guard machinery for each of its
+    72 chunks x 3 lights on EVERY packet, while the stack walk's
+    whole-packet early exit (all 256 lanes occluded -> stop) finishes most
+    from-inside-the-cloud packets in ~25 node visits per light. Kept
+    dispatchable + tested so the negative result stays measurable
+    (VERDICT r4 #3 lever, tried and rejected)."""
+    if getattr(cfg, "accel_impl", "auto") != "multi":
+        return None
     if n_lights < 2 or scene.n_lights < 2:
         return None
     if scene.accel_type not in (C.ACCEL_BVH, C.ACCEL_GRID):

@@ -252,14 +252,37 @@ _EMPTY_MAT_TEMPLATE = _Materials(
     transmit=0.0, ior=0.0)
 
 
-@partial(jax.jit, static_argnums=(2, 3))
+# friendly freeze-group names -> FitParams field names
+_FREEZE_GROUPS = {
+    "materials": ("materials",),
+    "lights": ("light_pos", "light_color"),
+    "camera": ("cam_eye", "cam_focal"),
+    "geometry": ("prim_params",),
+}
+
+
+def _freeze_params(params: FitParams, freeze) -> FitParams:
+    reps = {}
+    for name in freeze:
+        for field in _FREEZE_GROUPS[name]:
+            reps[field] = jax.tree.map(jax.lax.stop_gradient,
+                                       getattr(params, field))
+    return dataclasses.replace(params, **reps)
+
+
+@partial(jax.jit, static_argnums=(2, 3, 7))
 def train_step_full(scene: Scene, target, cfg: RenderConfig, mesh: Mesh,
-                    lr: float = 0.05, key=None, scales: FitParams = None):
+                    lr: float = 0.05, key=None, scales: FitParams = None,
+                    freeze: tuple = ()):
     """One inverse-rendering step over ALL parameter groups (materials,
     light position/color, camera eye/focal). Pixels shard over the mesh;
     per-group gradients are psum-all-reduced over ICI exactly like
     train_step. ``scales`` (see lr_scales) multiplies lr per group — pass
-    0.0 to freeze a group. Returns (scene', loss)."""
+    0.0 to freeze a group's UPDATE. ``freeze`` (STATIC tuple of
+    "materials"/"lights"/"camera"/"geometry") additionally stop-gradients
+    those groups so XLA dead-code-eliminates their backward work — a
+    zero scale alone still pays for the gradient computation (e.g. the
+    geometry group's per-step table-rebuild VJP). Returns (scene', loss)."""
     if key is None:
         key = jax.random.PRNGKey(0)
     if scales is None:
@@ -276,7 +299,7 @@ def train_step_full(scene: Scene, target, cfg: RenderConfig, mesh: Mesh,
         key = jax.random.fold_in(key[0], jax.lax.axis_index(AXIS))
 
         def local_loss(params: FitParams):
-            s = _apply_params(scene, params)
+            s = _apply_params(scene, _freeze_params(params, freeze))
             img = render_tile(s, px, py, cfg, key)
             return jnp.sum((img - tgt) ** 2) / total
 
