@@ -120,6 +120,41 @@ def test_fd_gradient_ior(field, idx):
     _fd_check(scene, cfg, 10, [(field, idx)], eps=1e-3, rtol=0.15)
 
 
+def test_wavefront_gradients_match_sweep():
+    """The compacted wavefront engine is a valid GRADIENT path for
+    deterministic configs: its value and jax.grad over the full FitParams
+    group match the sweep engine's to f32-reassociation noise (the engines
+    compute the same function through different schedules — scatter-add
+    queues vs 2^l level slots). This is what lets the production train step
+    (parallel/dist.train_step_full, bench.py gradient line) run the ~1.7x
+    cheaper wavefront forward+backward; measured on-device 260 -> 154 ms
+    per 512^2 step (tools/bench_r5.py part d)."""
+    from u_4a_2s_p3d_raytracer_template2_tpu.models.scenes import mount_scene
+    from u_4a_2s_p3d_raytracer_template2_tpu.parallel.dist import (
+        _apply_params,
+        params_of,
+    )
+
+    res = 20
+    scene = rt.build_scene(mount_scene(res=res))
+    px, py = _pixel_grid(res)
+    key = jax.random.PRNGKey(0)
+
+    def loss(params, engine):
+        s = _apply_params(scene, params)
+        img = render_tile(s, px, py, rt.RenderConfig(engine=engine), key)
+        return jnp.mean(img ** 2)
+
+    p0 = params_of(scene)
+    ls, gs = jax.value_and_grad(lambda p: loss(p, "sweep"))(p0)
+    lw, gw = jax.value_and_grad(lambda p: loss(p, "wavefront"))(p0)
+    assert abs(float(ls) - float(lw)) < 1e-5
+    for a, b in zip(jax.tree.leaves(gs), jax.tree.leaves(gw)):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.max(np.abs(a)) + 1e-12
+        assert np.max(np.abs(a - b)) <= 5e-3 * scale + 1e-6
+
+
 def test_geometry_gradient_finite_on_tangential_hits():
     """Regression: a discrete-traversal hit whose differentiable
     re-intersection disagrees (tangential sphere under f32 re-association)

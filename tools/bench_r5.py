@@ -212,6 +212,118 @@ def part_c():
             out(f"{name} {tag}", dt, R * samples * 4)
 
 
+def part_e():
+    """mount_high glue ablations: skybox on/off x depth, wavefront engine.
+    Together with part_b's isolated traversal numbers this splits the
+    261 ms frame into traversal / per-level sky gathers / rest."""
+    import jax
+    import jax.numpy as jnp
+
+    import u_4a_2s_p3d_raytracer_template2_tpu as rt
+    from u_4a_2s_p3d_raytracer_template2_tpu.models.whitted import (
+        render_tile,
+    )
+    from u_4a_2s_p3d_raytracer_template2_tpu.utils.timing import loop_time
+
+    sd = rt.parse_p3f(os.path.join(SCENES, "mount_high.p3f"))
+    scene = rt.build_scene(sd, accel=2)
+    res = 512
+    px, py = _grid_px(res)
+    R = res * res
+    key = jax.random.PRNGKey(0)
+
+    for depth, sky, n_hi in ((4, True, 6), (4, False, 6), (1, False, 8),
+                             (2, True, 6), (2, False, 6)):
+        cfg = rt.RenderConfig(engine="wavefront", use_skybox=sky,
+                              max_depth=depth)
+
+        def frame(i, carry, cfg=cfg):
+            acc, s = carry
+            x = px + 0.37 * i.astype(jnp.float32)
+            return (acc + render_tile(s, x, py, cfg, key).sum(), s)
+
+        dt = loop_time(frame, (jnp.float32(0.0), scene), n_lo=1, n_hi=n_hi,
+                       reps=3)
+        out(f"mount_high wavefront depth={depth} sky={sky}", dt, R * 2)
+
+
+def part_s():
+    """Isolated sky-lookup costs at R=512^2 (the 64-of-78 ms distribution
+    sink from part_c): pure flat gather vs index math vs the full packed
+    lookup vs the u8 3-channel lookup the wavefront engine uses."""
+    import jax
+    import jax.numpy as jnp
+
+    import u_4a_2s_p3d_raytracer_template2_tpu as rt
+    from u_4a_2s_p3d_raytracer_template2_tpu.ops.shade import (
+        cubemap_index,
+        pack_skybox_u32,
+        skybox_color,
+        skybox_color_packed,
+    )
+    from u_4a_2s_p3d_raytracer_template2_tpu.utils.timing import loop_time
+
+    sd = rt.parse_p3f(os.path.join(SCENES, "balls_low.p3f"))
+    scene = rt.build_scene(sd)
+    sky_u8 = scene.skybox                       # [6,H,W,3] u8
+    packed = pack_skybox_u32(sky_u8)            # [6,H,W] u32
+    H, W = packed.shape[1], packed.shape[2]
+    R = 512 * 512
+    rng = np.random.default_rng(0)
+    d0 = jnp.asarray(rng.normal(size=(R, 3)).astype(np.float32))
+
+    def vary(i):
+        c = jnp.cos(i.astype(jnp.float32) * 0.05)
+        s = jnp.sin(i.astype(jnp.float32) * 0.05)
+        return jnp.stack([d0[:, 0] * c - d0[:, 1] * s,
+                          d0[:, 0] * s + d0[:, 1] * c, d0[:, 2]], -1)
+
+    flat = packed.reshape(-1)
+    idx0 = jnp.asarray(rng.integers(0, flat.shape[0], R).astype(np.int32))
+
+    def g_flat(i, carry):
+        acc, fl = carry
+        ix = (idx0 + i) % fl.shape[0]
+        return acc + fl[ix].astype(jnp.float32).sum(), fl
+
+    dt = loop_time(g_flat, (jnp.float32(0.0), flat), n_lo=2, n_hi=12, reps=3)
+    out(f"flat u32 gather {R} random rows from {flat.size*4>>20} MB", dt, R)
+
+    def g_idx(i, acc):
+        side, yp, xp = cubemap_index(vary(i), H, W)
+        return acc + (side + yp + xp).astype(jnp.float32).sum()
+
+    dt = loop_time(g_idx, jnp.float32(0.0), n_lo=2, n_hi=12, reps=3)
+    out("cubemap_index math only", dt, R)
+
+    def g_flatidx(i, carry):
+        acc, fl = carry
+        side, yp, xp = cubemap_index(vary(i), H, W)
+        ix = (side * H + yp) * W + xp
+        v = fl[ix]
+        rgb = jnp.stack([(v >> 16) & 0xFF, (v >> 8) & 0xFF, v & 0xFF], -1)
+        return acc + (rgb.astype(jnp.float32) / 255.99).sum(), fl
+
+    dt = loop_time(g_flatidx, (jnp.float32(0.0), flat), n_lo=2, n_hi=12,
+                   reps=3)
+    out("packed lookup via SELF-COMPUTED flat index", dt, R)
+
+    def g_packed(i, carry):
+        acc, pk = carry
+        return acc + skybox_color_packed(pk, vary(i)).sum(), pk
+
+    dt = loop_time(g_packed, (jnp.float32(0.0), packed), n_lo=2, n_hi=12,
+                   reps=3)
+    out("skybox_color_packed (3-array fancy index)", dt, R)
+
+    def g_u8(i, carry):
+        acc, sk = carry
+        return acc + skybox_color(sk, vary(i)).sum(), sk
+
+    dt = loop_time(g_u8, (jnp.float32(0.0), sky_u8), n_lo=2, n_hi=12, reps=3)
+    out("skybox_color u8 3-channel (wavefront per-level path)", dt, R)
+
+
 def part_d():
     """Train-step optimization A/B (VERDICT r4 item 2): static freeze of
     unused parameter groups vs zero-scale-only."""
@@ -232,23 +344,36 @@ def part_d():
 
     res = 512
     scene = rt.build_scene(mount_scene(res=res))
-    cfg = rt.RenderConfig()
     mesh = default_mesh()
     key = jax.random.PRNGKey(0)
-    target = render_image(scene, cfg)
+    target = render_image(scene, rt.RenderConfig())
     target.block_until_ready()
 
-    for tag, scales, freeze in (
-            ("all groups live", lr_scales(materials=1.0, light_pos=1.0,
-                                          camera=1.0, geometry=0.0), ()),
-            ("freeze geometry+camera (static)",
-             lr_scales(materials=1.0, light_pos=1.0, camera=0.0,
-                       geometry=0.0), ("geometry", "camera")),
-            ("materials only (freeze rest)",
-             lr_scales(materials=1.0, light_pos=0.0, camera=0.0,
-                       geometry=0.0), ("geometry", "camera", "lights")),
+    for tag, engine, scales, freeze in (
+            ("sweep, all groups live",
+             "sweep", lr_scales(materials=1.0, light_pos=1.0,
+                                camera=1.0, geometry=0.0), ()),
+            ("wavefront, all groups live",
+             "wavefront", lr_scales(materials=1.0, light_pos=1.0,
+                                    camera=1.0, geometry=0.0), ()),
+            ("wavefront, freeze geometry (static)",
+             "wavefront", lr_scales(materials=1.0, light_pos=1.0,
+                                    camera=1.0, geometry=0.0),
+             ("geometry",)),
+            ("megakernel fwd (custom_vjp), all groups live",
+             "megakernel", lr_scales(materials=1.0, light_pos=1.0,
+                                     camera=1.0, geometry=0.0), ()),
+            ("sweep, freeze geometry+camera (static)",
+             "sweep", lr_scales(materials=1.0, light_pos=1.0, camera=0.0,
+                                geometry=0.0), ("geometry", "camera")),
+            ("sweep, materials only (freeze rest)",
+             "sweep", lr_scales(materials=1.0, light_pos=0.0, camera=0.0,
+                                geometry=0.0), ("geometry", "camera",
+                                                "lights")),
     ):
-        def step(i, carry, scales=scales, freeze=freeze):
+        cfg = rt.RenderConfig(engine=engine)
+
+        def step(i, carry, cfg=cfg, scales=scales, freeze=freeze):
             s, _ = carry
             tgt = target + 1e-7 * i.astype(jnp.float32)
             s2, l2 = train_step_full(s, tgt, cfg, mesh, 0.01, key, scales,
@@ -261,6 +386,12 @@ def part_d():
 
 
 if __name__ == "__main__":
+    from u_4a_2s_p3d_raytracer_template2_tpu.utils.profiling import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
     parts = sys.argv[1:] or ["a", "b", "c", "d"]
     for p in parts:
-        {"a": part_a, "b": part_b, "c": part_c, "d": part_d}[p]()
+        {"a": part_a, "b": part_b, "c": part_c, "d": part_d,
+         "e": part_e, "s": part_s}[p]()
