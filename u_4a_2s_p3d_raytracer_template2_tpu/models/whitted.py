@@ -311,12 +311,15 @@ def _level_step(scene: Scene, rays: Rays, active, ior_in, cfg: RenderConfig,
                             hit, cfg, klight, shadow_offsets)
 
     # miss color: flat background, or skybox lookup when wired in
-    # (main.cpp:581-584; capability per BASELINE config #4)
+    # (main.cpp:581-584; capability per BASELINE config #4). Hit lanes'
+    # texel reads are clamped to index 0 (their bg is discarded): deep
+    # levels' refraction-scattered directions otherwise turn the per-level
+    # gather into random access over the whole cubemap (see skybox_color).
+    miss = active & (obj_id < 0)
     if cfg.use_skybox and scene.has_skybox:
-        bg = shade.skybox_color(scene.skybox, rays.direction)
+        bg = shade.skybox_color(scene.skybox, rays.direction, valid=miss)
     else:
         bg = jnp.broadcast_to(scene.bg_color[None, :], local.shape)
-    miss = active & (obj_id < 0)
 
     if not spawn:
         # depth == MAX_DEPTH leaf: clamp local color (main.cpp:632-634)

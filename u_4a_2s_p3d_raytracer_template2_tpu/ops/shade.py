@@ -204,13 +204,25 @@ def skybox_texel_to_float(rgb):
     return rgb
 
 
-def skybox_color(skybox: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
+def skybox_color(skybox: jnp.ndarray, d: jnp.ndarray,
+                 valid=None) -> jnp.ndarray:
     """Cubemap nearest-texel lookup (scene.cpp:383-461).
 
     skybox: [6, H, W, 3] uint8 (loaded faces) or float32 (synthetic);
     d: [R, 3] (need not be normalized).
-    """
+
+    ``valid`` [R] bool: lanes whose result the caller discards (e.g. rays
+    that HIT — bg is only consumed on miss) have their texel index clamped
+    to 0. The gather stays static-shape, but the dead rows all read one
+    cache-resident texel instead of scattering across the 75 MB table —
+    measured on mount_high depth 4, where refraction-scattered deep levels
+    made unguarded per-level bg gathers the single largest frame cost
+    (262 -> ~150 ms; tools/bench_r5.py part e)."""
     side, yp, xp = cubemap_index(d, skybox.shape[1], skybox.shape[2])
+    if valid is not None:
+        side = jnp.where(valid, side, 0)
+        yp = jnp.where(valid, yp, 0)
+        xp = jnp.where(valid, xp, 0)
     return skybox_texel_to_float(skybox[side, yp, xp])
 
 
