@@ -177,9 +177,9 @@ def test_megakernel_skybox_distribution_mode():
 
 
 def test_megakernel_skybox_u8_packed():
-    """Loaded (u8) cubemaps ride the raw 3-channel-row gather epilogue
-    (measured faster than packed-u32 + unpack, tools/bench_r5.py part s);
-    colors must still match the sweep's u8 skybox_color path exactly."""
+    """Loaded (u8) cubemaps ride the packed-u32 plane-wise epilogue
+    (the in-frame A/B winner, tools/bench_r5.py parts s/c); colors must
+    still match the sweep's u8 skybox_color path exactly."""
     rng = np.random.RandomState(7)
     sky_u8 = rng.randint(0, 256, (6, 8, 8, 3)).astype(np.uint8)
     sd = mixed_scene(res=10)
@@ -194,8 +194,7 @@ def test_megakernel_skybox_u8_packed():
     want = np.clip(np.asarray(whitted.render_tile(scene, px, py, cfg, key)),
                    0.0, 1.0)
     tile = mk.make_render_tile(scene, cfg, interpret=True)
-    assert tile.sky_operand.ndim == 4  # raw u8 [6,H,W,3]
-    assert tile.sky_operand.dtype == jnp.uint8
+    assert tile.sky_operand.ndim == 3  # packed u32 [6,H,W]
     got = np.asarray(tile(px, py, key))
     assert_images_close(got.reshape(10, 10, 3), want.reshape(10, 10, 3),
                         atol=2e-3)

@@ -52,6 +52,26 @@ def test_wavefront_aa_dof_matches_sweep():
     np.testing.assert_allclose(b, a, atol=5e-4)
 
 
+def test_wavefront_skybox_deferred_matches_sweep():
+    """Skybox-on-miss parity in BOTH wavefront modes: the default per-level
+    lookup and the opt-in deferred epilogue (wavefront_defer_sky — weight-
+    recorded misses, one gather pass per level's records) must match the
+    sweep; the deferred form only changes the f32 add order. Exercises miss
+    lanes at every depth (the glass sphere refracts rays out to the sky)."""
+    rng = np.random.RandomState(3)
+    sky_u8 = rng.randint(0, 256, (6, 16, 16, 3)).astype(np.uint8)
+    scene = rt.build_scene(mixed_scene(res=28))
+    scene = dataclasses.replace(scene, skybox=jnp.asarray(sky_u8),
+                                has_skybox=True)
+    a = np.asarray(rt.render_image(
+        scene, rt.RenderConfig(engine="sweep", use_skybox=True)))
+    for defer in (False, True):
+        b = np.asarray(rt.render_image(scene, rt.RenderConfig(
+            engine="wavefront", use_skybox=True,
+            wavefront_defer_sky=defer)))
+        np.testing.assert_allclose(b, a, atol=5e-4, err_msg=f"defer={defer}")
+
+
 def test_wavefront_gradients_match_sweep():
     scene = rt.build_scene(mount_scene(res=12))
     ys, xs = jnp.meshgrid(jnp.arange(12, dtype=jnp.float32),

@@ -324,6 +324,102 @@ def part_s():
     out("skybox_color u8 3-channel (wavefront per-level path)", dt, R)
 
 
+def part_f():
+    """mount_high sky anomaly bisect: the depth-4 frame pays ~114 ms for
+    use_skybox=True yet the isolated per-level gather is ~2-4 ms (part_s)
+    and gating dead-lane indices changed nothing (part_e after the fix).
+    Variants: dummy 8x8 cubemap (same program, tiny table) -> is it the
+    75 MB operand? depth=3 -> where does it explode?"""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    import u_4a_2s_p3d_raytracer_template2_tpu as rt
+    from u_4a_2s_p3d_raytracer_template2_tpu.models.whitted import (
+        render_tile,
+    )
+    from u_4a_2s_p3d_raytracer_template2_tpu.utils.timing import loop_time
+
+    sd = rt.parse_p3f(os.path.join(SCENES, "mount_high.p3f"))
+    scene = rt.build_scene(sd, accel=2)
+    rng = np.random.default_rng(0)
+    tiny = dataclasses.replace(
+        scene, skybox=jnp.asarray(
+            rng.integers(0, 256, (6, 8, 8, 3)).astype(np.uint8)))
+    res = 512
+    px, py = _grid_px(res)
+    R = res * res
+    key = jax.random.PRNGKey(0)
+
+    for tag, scn, depth, sky in (
+            ("real sky, depth=4 (post-barrier)", scene, 4, True),
+            ("dummy 8x8 sky, depth=4", tiny, 4, True),
+            ("real sky, depth=3", scene, 3, True),
+            ("no sky, depth=3", scene, 3, False),
+    ):
+        cfg = rt.RenderConfig(engine="wavefront", use_skybox=sky,
+                              max_depth=depth)
+
+        def frame(i, carry, cfg=cfg):
+            acc, s = carry
+            x = px + 0.37 * i.astype(jnp.float32)
+            return (acc + render_tile(s, x, py, cfg, key).sum(), s)
+
+        dt = loop_time(frame, (jnp.float32(0.0), scn), n_lo=1, n_hi=6,
+                       reps=3)
+        out(f"mount_high wavefront {tag}", dt, R * 2)
+
+
+def part_g():
+    """mount_high queue-capacity sweep: levels >=2 are sparse after
+    compaction, so a smaller static queue capacity means fewer packets per
+    traversal. Checks losslessness (vs factor-1 image) before timing."""
+    import jax
+    import jax.numpy as jnp
+
+    import u_4a_2s_p3d_raytracer_template2_tpu as rt
+    from u_4a_2s_p3d_raytracer_template2_tpu.models.whitted import (
+        render_tile,
+    )
+    from u_4a_2s_p3d_raytracer_template2_tpu.utils.timing import loop_time
+
+    sd = rt.parse_p3f(os.path.join(SCENES, "mount_high.p3f"))
+    scene = rt.build_scene(sd, accel=2)
+    res = 512
+    px, py = _grid_px(res)
+    R = res * res
+    key = jax.random.PRNGKey(0)
+
+    ref_img = None
+    for factor in (1.0, 0.5, 0.25):
+        cfg = rt.RenderConfig(engine="wavefront", use_skybox=True,
+                              wavefront_capacity=factor)
+
+        @jax.jit
+        def render(s, cfg=cfg):
+            return render_tile(s, px, py, cfg, key)
+
+        img = render(scene)  # stays on device (20 KB/s readback link)
+        if factor == 1.0:
+            ref_img = img
+        else:
+            ad = jnp.abs(img - ref_img).max(axis=-1)
+            print(json.dumps({
+                "what": f"capacity {factor} vs 1.0",
+                "max_delta": float(ad.max()),
+                "frac_gt_2e-3": float((ad > 2e-3).mean())}), flush=True)
+
+        def frame(i, carry, cfg=cfg):
+            acc, s = carry
+            x = px + 0.37 * i.astype(jnp.float32)
+            return (acc + render_tile(s, x, py, cfg, key).sum(), s)
+
+        dt = loop_time(frame, (jnp.float32(0.0), scene), n_lo=1, n_hi=6,
+                       reps=3)
+        out(f"mount_high wavefront sky capacity={factor}", dt, R * 2)
+
+
 def part_d():
     """Train-step optimization A/B (VERDICT r4 item 2): static freeze of
     unused parameter groups vs zero-scale-only."""
@@ -394,4 +490,4 @@ if __name__ == "__main__":
     parts = sys.argv[1:] or ["a", "b", "c", "d"]
     for p in parts:
         {"a": part_a, "b": part_b, "c": part_c, "d": part_d,
-         "e": part_e, "s": part_s}[p]()
+         "e": part_e, "f": part_f, "g": part_g, "s": part_s}[p]()

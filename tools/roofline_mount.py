@@ -141,20 +141,25 @@ def part_rates():
     SUB, LANE, K, G = 256, 128, 512, 96  # G grid programs per call
 
     def make(opname):
+        # every chain must be serially dependent AND algebraically opaque:
+        # the first rates run measured 36 Top/s for chained max (idempotent
+        # collapse) and negative for select (folded) — constants or
+        # idempotent ops let Mosaic/LLVM collapse the chain.
         def kernel(x_ref, o_ref):
             x = x_ref[:]
+            a = x * np.float32(1e-9) + np.float32(0.9999)  # data-dep factor
             acc = x
             for i in range(K):
                 if opname == "fma":
-                    acc = acc * np.float32(1.0000001) + x
+                    acc = acc * a + x
                 elif opname == "cheap":
-                    acc = jnp.maximum(acc, x + np.float32(i & 7))
+                    acc = jnp.abs(acc - x)           # non-idempotent chain
                 elif opname == "div":
                     acc = x / (acc + np.float32(1.5))
                 elif opname == "rsqrt":
                     acc = jax.lax.rsqrt(jnp.abs(acc) + np.float32(1.1))
                 elif opname == "select":
-                    acc = jnp.where(acc > x, acc * np.float32(0.999), x)
+                    acc = jnp.where(acc > x, acc - x, acc + x)
             o_ref[:] = acc
 
         f = pl.pallas_call(
@@ -180,8 +185,9 @@ def part_rates():
                        n_lo=2, n_hi=20, reps=3)
         gops = n_el * K / dt / 1e9
         rates[op] = gops
-        print(f"  {op:7s} {gops:9.1f} Gop/s  "
-              f"({2 * gops / 1e3:.2f} TFLOP/s if FMA)", flush=True)
+        # chain-iterations per second; ops/iter: fma=1 fused, cheap=2
+        # (sub+abs), div=1, rsqrt=2 (abs+rsqrt), select=2 (cmp+sel)
+        print(f"  {op:7s} {gops:9.1f} G chain-iter/s", flush=True)
     return rates
 
 

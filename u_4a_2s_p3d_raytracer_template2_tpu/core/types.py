@@ -275,6 +275,14 @@ class RenderConfig:
     engine: str = "sweep"
     # queue capacity = ceil(primary_count * this) in wavefront mode
     wavefront_capacity: float = 1.0
+    # Wavefront skybox handling: False (default) = per-level cubemap
+    # lookup; True = record (pixel, miss, weight, direction) per level and
+    # do every lookup in one post-loop epilogue. Measured NEUTRAL-to-worse
+    # on mount_high depth 4 (272 vs 260 ms) — the apparent "sky cost" there
+    # is an XLA scheduling artifact of the no-sky program, not lookup work
+    # (a constant-sky ablation still measured ~255 ms; tools/
+    # probe_sky_struct.py) — kept dispatchable + parity-tested.
+    wavefront_defer_sky: bool = False
     # Route engine="megakernel" through the operand-streamed path even off
     # TPU (models/whitted_streamed.py; the primal runs as the kernel's
     # pure-XLA twin there — same math, CPU-fast). For CPU tests and the

@@ -265,11 +265,20 @@ def direct_lighting(scene: Scene, rays: Rays, hit_point, precise, normal,
 
 
 def _level_step(scene: Scene, rays: Rays, active, ior_in, cfg: RenderConfig,
-                key, spawn: bool, shadow_offsets=None):
+                key, spawn: bool, shadow_offsets=None, defer_sky=False):
     """Trace + locally shade one level; optionally emit children.
 
     Returns (local_color, miss_color_mask, KR, spec_color, child rays/masks).
-    """
+
+    ``defer_sky``: miss lanes shade BLACK here and the caller adds the
+    skybox term itself from the returned ``miss`` mask (spawn levels:
+    ``fold["miss"]``; leaf levels: the second return is ``{"miss": ...}``).
+    The wavefront engine uses this to keep every level's program free of
+    gather ops and evaluate all sky lookups in one post-loop epilogue —
+    the per-level lookups measured ~4-6 ms each, but their presence also
+    cost the depth-4 mount_high program ~90 ms of XLA scheduling luck
+    (tools/bench_r5.py parts e/f: 145 ms without sky vs 253 ms with a
+    DUMMY 8x8 cubemap)."""
     R = rays.origin.shape[0]
     t_disc, obj_id = trace_closest(scene, rays, cfg)
     obj_id = jax.lax.stop_gradient(obj_id)
@@ -316,7 +325,9 @@ def _level_step(scene: Scene, rays: Rays, active, ior_in, cfg: RenderConfig,
     # levels' refraction-scattered directions otherwise turn the per-level
     # gather into random access over the whole cubemap (see skybox_color).
     miss = active & (obj_id < 0)
-    if cfg.use_skybox and scene.has_skybox:
+    if defer_sky:
+        bg = jnp.zeros_like(local)
+    elif cfg.use_skybox and scene.has_skybox:
         bg = shade.skybox_color(scene.skybox, rays.direction, valid=miss)
     else:
         bg = jnp.broadcast_to(scene.bg_color[None, :], local.shape)
@@ -325,7 +336,7 @@ def _level_step(scene: Scene, rays: Rays, active, ior_in, cfg: RenderConfig,
         # depth == MAX_DEPTH leaf: clamp local color (main.cpp:632-634)
         color = jnp.where(hit[:, None], clamp01(local), 0.0)
         color = jnp.where(miss[:, None], bg, color)
-        return color, None
+        return color, {"miss": miss}
 
     # flip the normal for secondary-ray math only (main.cpp:639-643)
     inside = dot(rays.direction, normal) > 0.0
@@ -362,7 +373,7 @@ def _level_step(scene: Scene, rays: Rays, active, ior_in, cfg: RenderConfig,
         refl=(refl_rays, refl_active, ior_in),
         refr=(refr_rays, refr_active, ro.new_ior),
     )
-    fold = dict(kr=kr, spec_color=mat.spec_color, hit=hit)
+    fold = dict(kr=kr, spec_color=mat.spec_color, hit=hit, miss=miss)
     return local_color, (children, fold)
 
 

@@ -692,30 +692,34 @@ def _trace_fn_cached(consts_key, cfg, interpret):
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
         )(*cols, *extra)
-        color = jnp.stack([a.reshape(-1) for a in outs[:3]], -1)
         if n_sky:
-            # deferred-sky epilogue (module doc): one batched cubemap gather
-            # over every node's recorded miss direction, weighted add, clamp.
-            # u8 cubemaps gather their 3-channel rows DIRECTLY: the r5
-            # on-device A/B (tools/bench_r5.py part s, 262k rows, 2048^2
-            # cubemap) measured the raw u8 lookup at 2.05 ms vs 3.86 ms for
-            # the packed-u32 path — the u32 unpack (shifts + [R,3] stack on
-            # a 3-wide minor dim) costs more than the extra gathered
-            # elements. Packed operands ([6,H,W] u32) remain dispatchable.
-            from ..ops.shade import skybox_color, skybox_color_packed
+            # deferred-sky epilogue (module doc): per path-cover entry, one
+            # batched cubemap gather over the recorded miss directions,
+            # weighted add, clamp. The r5 A/B settled the layout question
+            # (tools/bench_r5.py parts s/c): a single packed-u32 gather row
+            # per texel, unpacked PLANE-WISE — the kernel already emits
+            # color/weight/direction as separate [Rpad] planes, so nothing
+            # 3-wide-minor-dim is ever materialized (the earlier [R,3]
+            # stack/transpose forms measured 78-85 ms on balls_low's
+            # 16-sample distribution frame). Zero-weight rows (hit lanes)
+            # read texel 0 (see ops/shade.skybox_color).
+            from ..ops.shade import skybox_planes
 
+            cr, cg, cb = (a.reshape(-1) for a in outs[:3])
             sk = outs[3].reshape(n_sky // 6, 6, rows * LANE)
-            w = sk[:, 0:3].transpose(0, 2, 1)            # [E, Rpad, 3]
-            dv = sk[:, 3:6].transpose(0, 2, 1)           # [E, Rpad, 3]
-            # zero-weight rows (hit lanes) read texel 0: keeps the gather's
-            # dead rows cache-resident (see ops/shade.skybox_color)
-            live = (w != 0.0).any(axis=-1).reshape(-1)
-            if skybox.ndim == 3:
-                rgb = skybox_color_packed(skybox, dv.reshape(-1, 3))
-            else:
-                rgb = skybox_color(skybox, dv.reshape(-1, 3), valid=live)
-            color = color + (w * rgb.reshape(w.shape)).sum(axis=0)
-            color = jnp.clip(color, 0.0, 1.0)
+            for e in range(n_sky // 6):
+                wr, wg, wb = sk[e, 0], sk[e, 1], sk[e, 2]
+                live = (wr != 0.0) | (wg != 0.0) | (wb != 0.0)
+                r, g, b = skybox_planes(skybox, sk[e, 3], sk[e, 4],
+                                        sk[e, 5], valid=live)
+                cr = cr + wr * r
+                cg = cg + wg * g
+                cb = cb + wb * b
+            color = jnp.stack([jnp.clip(cr, 0.0, 1.0),
+                               jnp.clip(cg, 0.0, 1.0),
+                               jnp.clip(cb, 0.0, 1.0)], -1)
+        else:
+            color = jnp.stack([a.reshape(-1) for a in outs[:3]], -1)
         return color[:R]
 
     return trace
@@ -842,14 +846,17 @@ def make_render_tile(scene, cfg, interpret: bool = False):
     n_rows, _ = _stream_layout(consts, cfg)
     camera = scene.camera
     # the cubemap rides as an explicit jit argument (NOT a closure capture:
-    # a captured 288 MB device array would lower as an XLA constant). u8
-    # cubemaps ride RAW [6,H,W,3]: the r5 A/B measured the 3-channel row
-    # gather 1.9x faster than packed-u32 + unpack (see epilogue note) —
-    # balls_low's 16-sample distribution frame dropped 78 -> ~50 ms on
-    # this alone.
+    # a captured 288 MB device array would lower as an XLA constant); u8
+    # cubemaps are packed to one u32 per texel ONCE here — the epilogue
+    # gathers one row per texel and unpacks plane-wise (see epilogue note;
+    # the raw-u8 3-channel row gather was A/B'd in-frame and lost)
     sky_operand = None
     if _sky_on(consts, cfg):
         sky_operand = scene.skybox
+        if jnp.issubdtype(jnp.asarray(sky_operand).dtype, jnp.integer):
+            from ..ops.shade import pack_skybox_u32
+
+            sky_operand = pack_skybox_u32(sky_operand)
 
     def _trace(rays, ktrace, offsets, skybox):
         if n_rows:

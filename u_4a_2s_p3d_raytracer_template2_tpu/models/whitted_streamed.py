@@ -361,24 +361,28 @@ def _streamed_trace(shape: _StaticShape, cfg, mode: str, sub: int,
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=(mode == "interpret"),
         )(tbl, lt, bg, *cols, *extra)
-        color = jnp.stack([a.reshape(-1) for a in outs[:3]], -1)
         if n_sky:
-            # deferred-sky epilogue — identical to the baked kernel's: one
-            # batched cubemap gather over every recorded miss direction,
-            # weighted add, clamp. u8 cubemaps gather their 3-channel rows
-            # raw (measured 1.9x faster than packed-u32 + unpack; see
-            # whitted_megakernel's epilogue note).
-            from ..ops.shade import skybox_color
+            # deferred-sky epilogue — identical to the baked kernel's
+            # plane-wise scheme (see whitted_megakernel's epilogue note).
+            # The cubemap arrives RAW here (the twin needs the [6,H,W,3]
+            # form), so skybox_planes takes the one-row-per-texel u8 path.
+            from ..ops.shade import skybox_planes
 
-            sky_op = skybox
-            lookup = skybox_color
+            cr, cg, cb = (a.reshape(-1) for a in outs[:3])
             sk = outs[3].reshape(n_sky // 6, 6, rows * LANE)
-            w = sk[:, 0:3].transpose(0, 2, 1)            # [E, Rpad, 3]
-            dv = sk[:, 3:6].transpose(0, 2, 1)           # [E, Rpad, 3]
-            live = (w != 0.0).any(axis=-1).reshape(-1)
-            rgb = lookup(sky_op, dv.reshape(-1, 3), valid=live)
-            color = color + (w * rgb.reshape(w.shape)).sum(axis=0)
-            color = jnp.clip(color, 0.0, 1.0)
+            for e in range(n_sky // 6):
+                wr, wg, wb = sk[e, 0], sk[e, 1], sk[e, 2]
+                live = (wr != 0.0) | (wg != 0.0) | (wb != 0.0)
+                r, g, b = skybox_planes(skybox, sk[e, 3], sk[e, 4],
+                                        sk[e, 5], valid=live)
+                cr = cr + wr * r
+                cg = cg + wg * g
+                cb = cb + wb * b
+            color = jnp.stack([jnp.clip(cr, 0.0, 1.0),
+                               jnp.clip(cg, 0.0, 1.0),
+                               jnp.clip(cb, 0.0, 1.0)], -1)
+        else:
+            color = jnp.stack([a.reshape(-1) for a in outs[:3]], -1)
         return color[:R]
 
     def twin(tbl, lt, bg, o, d, key, offsets, skybox):

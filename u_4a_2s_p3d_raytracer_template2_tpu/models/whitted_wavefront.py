@@ -56,11 +56,40 @@ def trace_rays_wavefront(scene: Scene, rays: Rays, cfg: RenderConfig, key,
     spawn_refr = scene.has_transmissive
     out = jnp.zeros((R, 3), jnp.float32)
 
+    # DEFERRED sky (cfg.wavefront_defer_sky, opt-in): every level shades
+    # misses black and records (pixel, miss, weight, direction); one
+    # post-loop epilogue does all the cubemap lookups. Built as a lever
+    # against mount_high's +110 ms sky delta — measured NEUTRAL-to-worse
+    # (272 vs 260 ms): the delta turned out to be an XLA scheduling
+    # artifact of the no-sky program shape, not lookup cost (a
+    # constant-sky ablation still measured ~255 ms, and no-sky depth 3 is
+    # SLOWER than no-sky depth 4; tools/probe_sky_struct.py + bench_r5
+    # parts e/f). Kept dispatchable + parity-tested
+    # (test_wavefront_skybox_deferred_matches_sweep): only the f32 add
+    # order changes vs the in-level form.
+    defer_sky = bool(cfg.wavefront_defer_sky and cfg.use_skybox
+                     and scene.has_skybox)
+    sky_jobs = []  # (pix, miss, weight, directions)
+
+    def sky_epilogue(acc):
+        from ..ops import shade
+
+        for pix, miss, w, dirs in sky_jobs:
+            rgb = shade.skybox_color(scene.skybox, dirs, valid=miss)
+            term = jnp.where(miss[:, None], w * rgb, 0.0)
+            acc = acc.at[pix].add(term) if pix is not None else acc + term
+        return acc
+
     if not (spawn_refl or spawn_refr) or cfg.max_depth <= 1:
         key, sub = jax.random.split(key)
-        local, _ = whitted._level_step(
+        local, extra = whitted._level_step(
             scene, rays, jnp.ones((R,), bool), jnp.ones((R,), jnp.float32),
-            cfg, sub, True, shadow_offsets)
+            cfg, sub, True, shadow_offsets, defer_sky=defer_sky)
+        if defer_sky:
+            _, fold = extra
+            sky_jobs.append((None, fold["miss"],
+                             jnp.ones((R, 3), jnp.float32), rays.direction))
+            local = sky_epilogue(local)
         return local
 
     C = int(math.ceil(R * capacity_factor))
@@ -76,9 +105,14 @@ def trace_rays_wavefront(scene: Scene, rays: Rays, cfg: RenderConfig, key,
         key, sub = jax.random.split(key)
         spawn = lvl < cfg.max_depth - 1
         step = whitted._level_step(scene, q_rays, q_active, q_ior, cfg, sub,
-                                   spawn, shadow_offsets)
+                                   spawn, shadow_offsets,
+                                   defer_sky=defer_sky)
         local_color = step[0]  # local on hit, bg on miss, 0 inactive
         out = out.at[q_pix].add(q_w * local_color)
+        if defer_sky:
+            fold_like = step[1][1] if spawn else step[1]
+            sky_jobs.append((q_pix, fold_like["miss"], q_w,
+                             q_rays.direction))
         if not spawn:
             break
 
@@ -141,4 +175,6 @@ def trace_rays_wavefront(scene: Scene, rays: Rays, cfg: RenderConfig, key,
         q_pix = q[:, 11].astype(jnp.int32)
         q_active = jnp.arange(C, dtype=jnp.int32) < n_act
 
+    if defer_sky:
+        out = sky_epilogue(out)
     return out

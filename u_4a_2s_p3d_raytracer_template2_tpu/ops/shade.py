@@ -168,7 +168,12 @@ def cubemap_index(d: jnp.ndarray, H: int, W: int):
     (scene.cpp:383-461). Face order RIGHT,LEFT,TOP,BOTTOM,FRONT,BACK with
     the reference's unusual conventions: LEFT at X=+1, RIGHT at X=-1
     (scene.cpp:398). d: [R, 3] (need not be normalized)."""
-    x, y, z = d[:, 0], d[:, 1], d[:, 2]
+    return cubemap_index_xyz(d[:, 0], d[:, 1], d[:, 2], H, W)
+
+
+def cubemap_index_xyz(x, y, z, H: int, W: int):
+    """cubemap_index on three separate [R] direction planes (callers that
+    keep SoA planes avoid materializing a 3-wide-minor-dim [R,3])."""
     ax, ay, az = jnp.abs(x), jnp.abs(y), jnp.abs(z)
 
     # dominant-axis selection, z checked last with strict > (scene.cpp:396-408)
@@ -223,7 +228,15 @@ def skybox_color(skybox: jnp.ndarray, d: jnp.ndarray,
         side = jnp.where(valid, side, 0)
         yp = jnp.where(valid, yp, 0)
         xp = jnp.where(valid, xp, 0)
-    return skybox_texel_to_float(skybox[side, yp, xp])
+    # keep the gather a STANDALONE op: fused into a larger elementwise
+    # graph, XLA's TPU emitter serializes the whole fusion around it. The
+    # isolated lookup costs ~2 ms per 262k rows, but un-barriered inside
+    # mount_high's depth-4 wavefront program the same lookups cost the
+    # frame ~114 ms (tools/bench_r5.py parts s/e/f).
+    side, yp, xp = jax.lax.optimization_barrier((side, yp, xp))
+    rgb = skybox[side, yp, xp]
+    rgb = jax.lax.optimization_barrier(rgb)
+    return skybox_texel_to_float(rgb)
 
 
 def pack_skybox_u32(skybox) -> jnp.ndarray:
@@ -242,10 +255,61 @@ def pack_skybox_u32(skybox) -> jnp.ndarray:
     return (s[..., 0] << 16) | (s[..., 1] << 8) | s[..., 2]
 
 
-def skybox_color_packed(packed: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
+def skybox_color_packed(packed: jnp.ndarray, d: jnp.ndarray,
+                        valid=None) -> jnp.ndarray:
     """Packed-u32 twin of skybox_color: bit-identical colors (the unpacked
-    bytes are the same bytes; the /255.99 conversion is the same op)."""
+    bytes are the same bytes; the /255.99 conversion is the same op).
+    Same standalone-gather barrier + dead-lane index clamp as
+    skybox_color."""
     side, yp, xp = cubemap_index(d, packed.shape[1], packed.shape[2])
+    if valid is not None:
+        side = jnp.where(valid, side, 0)
+        yp = jnp.where(valid, yp, 0)
+        xp = jnp.where(valid, xp, 0)
+    side, yp, xp = jax.lax.optimization_barrier((side, yp, xp))
     v = packed[side, yp, xp]
+    v = jax.lax.optimization_barrier(v)
     rgb = jnp.stack([(v >> 16) & 0xFF, (v >> 8) & 0xFF, v & 0xFF], -1)
     return rgb.astype(jnp.float32) / 255.99
+
+
+def skybox_planes_packed(packed: jnp.ndarray, dx, dy, dz, valid=None):
+    """Plane-wise packed lookup: direction planes in, (r, g, b) [R] f32
+    planes out — same bytes/colors as skybox_color(_packed), but NOTHING
+    3-wide-minor-dim is ever built (no [R,3] stack, no transposes). The
+    deferred-sky epilogues use this: the megakernel already produces
+    weight/direction/color as separate planes, so the whole sky add stays
+    in [R] vectors until the final stack."""
+    side, yp, xp = cubemap_index_xyz(dx, dy, dz, packed.shape[1],
+                                     packed.shape[2])
+    if valid is not None:
+        side = jnp.where(valid, side, 0)
+        yp = jnp.where(valid, yp, 0)
+        xp = jnp.where(valid, xp, 0)
+    side, yp, xp = jax.lax.optimization_barrier((side, yp, xp))
+    v = packed[side, yp, xp]
+    v = jax.lax.optimization_barrier(v)
+    # same /255.99 division as skybox_texel_to_float (bit-identical colors)
+    return (((v >> 16) & 0xFF).astype(jnp.float32) / 255.99,
+            ((v >> 8) & 0xFF).astype(jnp.float32) / 255.99,
+            (v & 0xFF).astype(jnp.float32) / 255.99)
+
+
+def skybox_planes(skybox: jnp.ndarray, dx, dy, dz, valid=None):
+    """Plane-wise lookup over EITHER operand form: [6,H,W] packed u32
+    (megakernel host-packed operand) or [6,H,W,3] u8/f32 (raw cubemap —
+    one 3-channel row gather, then channel slices). Returns (r, g, b)
+    [R] f32 planes, colors identical to skybox_color."""
+    if skybox.ndim == 3:
+        return skybox_planes_packed(skybox, dx, dy, dz, valid=valid)
+    side, yp, xp = cubemap_index_xyz(dx, dy, dz, skybox.shape[1],
+                                     skybox.shape[2])
+    if valid is not None:
+        side = jnp.where(valid, side, 0)
+        yp = jnp.where(valid, yp, 0)
+        xp = jnp.where(valid, xp, 0)
+    side, yp, xp = jax.lax.optimization_barrier((side, yp, xp))
+    rgb = skybox[side, yp, xp]
+    rgb = jax.lax.optimization_barrier(rgb)
+    rgb = skybox_texel_to_float(rgb)
+    return rgb[:, 0], rgb[:, 1], rgb[:, 2]
