@@ -252,7 +252,13 @@ def main():
 
     res = 512
     scene = rt.build_scene(mount_scene(res=res))
-    cfg = rt.RenderConfig()
+    # gradient path rides the compacted WAVEFRONT engine: its full-FitParams
+    # jax.grad matches the sweep's to f32 noise (tests/test_gradients.py
+    # test_wavefront_gradients_match_sweep) and the measured step is 1.46x
+    # cheaper (178 vs 259 ms, tools/bench_r5.py part d — freeze variants and
+    # the megakernel custom_vjp forward all measured flat: the cost IS the
+    # render VJP, and the wavefront's compacted levels shrink it).
+    cfg = rt.RenderConfig(engine="wavefront")
     mesh = default_mesh()
     key = jax.random.PRNGKey(0)
     target = render_image(scene, cfg)

@@ -692,34 +692,30 @@ def _trace_fn_cached(consts_key, cfg, interpret):
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
         )(*cols, *extra)
+        color = jnp.stack([a.reshape(-1) for a in outs[:3]], -1)
         if n_sky:
-            # deferred-sky epilogue (module doc): per path-cover entry, one
-            # batched cubemap gather over the recorded miss directions,
-            # weighted add, clamp. The r5 A/B settled the layout question
-            # (tools/bench_r5.py parts s/c): a single packed-u32 gather row
-            # per texel, unpacked PLANE-WISE — the kernel already emits
-            # color/weight/direction as separate [Rpad] planes, so nothing
-            # 3-wide-minor-dim is ever materialized (the earlier [R,3]
-            # stack/transpose forms measured 78-85 ms on balls_low's
-            # 16-sample distribution frame). Zero-weight rows (hit lanes)
-            # read texel 0 (see ops/shade.skybox_color).
-            from ..ops.shade import skybox_planes
+            # deferred-sky epilogue (module doc): one batched cubemap gather
+            # over every node's recorded miss direction, weighted add, clamp.
+            # XLA's TPU gather is element-count bound (~2.5 ns/element), so
+            # u8 cubemaps ride the packed-u32 path: 1 gathered element per
+            # texel instead of 3 (bit-identical colors; ops/shade).
+            # This EXACT form is the measured optimum — r5 re-litigated it
+            # on device (tools/bench_r5.py parts s/c, balls_low 16-sample
+            # distribution frame): raw-u8 3-channel rows 84.7 ms, +gather
+            # barriers 83.3 ms, plane-wise unpack with per-entry gathers
+            # 125.8 ms, vs 77.9 ms for this packed+stacked form. Isolated
+            # op timings said otherwise (u8 2.05 ms vs packed 3.86 ms per
+            # 262k rows) — in-frame fusion context dominates; A/B whole
+            # frames before believing an op-level lever.
+            from ..ops.shade import skybox_color, skybox_color_packed
 
-            cr, cg, cb = (a.reshape(-1) for a in outs[:3])
             sk = outs[3].reshape(n_sky // 6, 6, rows * LANE)
-            for e in range(n_sky // 6):
-                wr, wg, wb = sk[e, 0], sk[e, 1], sk[e, 2]
-                live = (wr != 0.0) | (wg != 0.0) | (wb != 0.0)
-                r, g, b = skybox_planes(skybox, sk[e, 3], sk[e, 4],
-                                        sk[e, 5], valid=live)
-                cr = cr + wr * r
-                cg = cg + wg * g
-                cb = cb + wb * b
-            color = jnp.stack([jnp.clip(cr, 0.0, 1.0),
-                               jnp.clip(cg, 0.0, 1.0),
-                               jnp.clip(cb, 0.0, 1.0)], -1)
-        else:
-            color = jnp.stack([a.reshape(-1) for a in outs[:3]], -1)
+            w = sk[:, 0:3].transpose(0, 2, 1)            # [E, Rpad, 3]
+            dv = sk[:, 3:6].transpose(0, 2, 1)           # [E, Rpad, 3]
+            lookup = skybox_color_packed if skybox.ndim == 3 else skybox_color
+            rgb = lookup(skybox, dv.reshape(-1, 3))
+            color = color + (w * rgb.reshape(w.shape)).sum(axis=0)
+            color = jnp.clip(color, 0.0, 1.0)
         return color[:R]
 
     return trace

@@ -361,28 +361,29 @@ def _streamed_trace(shape: _StaticShape, cfg, mode: str, sub: int,
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=(mode == "interpret"),
         )(tbl, lt, bg, *cols, *extra)
+        color = jnp.stack([a.reshape(-1) for a in outs[:3]], -1)
         if n_sky:
-            # deferred-sky epilogue — identical to the baked kernel's
-            # plane-wise scheme (see whitted_megakernel's epilogue note).
-            # The cubemap arrives RAW here (the twin needs the [6,H,W,3]
-            # form), so skybox_planes takes the one-row-per-texel u8 path.
-            from ..ops.shade import skybox_planes
+            # deferred-sky epilogue — identical to the baked kernel's: one
+            # batched cubemap gather over every recorded miss direction,
+            # weighted add, clamp; u8 cubemaps packed to u32 (the measured
+            # optimum — see whitted_megakernel's epilogue note for the r5
+            # A/B matrix; plane-wise and raw-u8 variants both lost
+            # in-frame).
+            from ..ops.shade import (pack_skybox_u32, skybox_color,
+                                     skybox_color_packed)
 
-            cr, cg, cb = (a.reshape(-1) for a in outs[:3])
+            sky_op = skybox
+            if jnp.issubdtype(sky_op.dtype, jnp.integer):
+                sky_op = pack_skybox_u32(sky_op)
+                lookup = skybox_color_packed
+            else:
+                lookup = skybox_color
             sk = outs[3].reshape(n_sky // 6, 6, rows * LANE)
-            for e in range(n_sky // 6):
-                wr, wg, wb = sk[e, 0], sk[e, 1], sk[e, 2]
-                live = (wr != 0.0) | (wg != 0.0) | (wb != 0.0)
-                r, g, b = skybox_planes(skybox, sk[e, 3], sk[e, 4],
-                                        sk[e, 5], valid=live)
-                cr = cr + wr * r
-                cg = cg + wg * g
-                cb = cb + wb * b
-            color = jnp.stack([jnp.clip(cr, 0.0, 1.0),
-                               jnp.clip(cg, 0.0, 1.0),
-                               jnp.clip(cb, 0.0, 1.0)], -1)
-        else:
-            color = jnp.stack([a.reshape(-1) for a in outs[:3]], -1)
+            w = sk[:, 0:3].transpose(0, 2, 1)            # [E, Rpad, 3]
+            dv = sk[:, 3:6].transpose(0, 2, 1)           # [E, Rpad, 3]
+            rgb = lookup(sky_op, dv.reshape(-1, 3))
+            color = color + (w * rgb.reshape(w.shape)).sum(axis=0)
+            color = jnp.clip(color, 0.0, 1.0)
         return color[:R]
 
     def twin(tbl, lt, bg, o, d, key, offsets, skybox):

@@ -218,25 +218,19 @@ def skybox_color(skybox: jnp.ndarray, d: jnp.ndarray,
 
     ``valid`` [R] bool: lanes whose result the caller discards (e.g. rays
     that HIT — bg is only consumed on miss) have their texel index clamped
-    to 0. The gather stays static-shape, but the dead rows all read one
-    cache-resident texel instead of scattering across the 75 MB table —
-    measured on mount_high depth 4, where refraction-scattered deep levels
-    made unguarded per-level bg gathers the single largest frame cost
-    (262 -> ~150 ms; tools/bench_r5.py part e)."""
+    to 0, so dead rows read one cache-resident texel. Measured NEUTRAL on
+    mount_high (the depth-4 'sky cost' there turned out to be an XLA
+    scheduling artifact, not gather locality — tools/probe_sky_struct.py);
+    kept because it is semantically free and bounds worst-case locality.
+    Gather barriers were also tried and measured neutral-here /
+    harmful-elsewhere (whitted_megakernel epilogue note) — do not
+    re-add."""
     side, yp, xp = cubemap_index(d, skybox.shape[1], skybox.shape[2])
     if valid is not None:
         side = jnp.where(valid, side, 0)
         yp = jnp.where(valid, yp, 0)
         xp = jnp.where(valid, xp, 0)
-    # keep the gather a STANDALONE op: fused into a larger elementwise
-    # graph, XLA's TPU emitter serializes the whole fusion around it. The
-    # isolated lookup costs ~2 ms per 262k rows, but un-barriered inside
-    # mount_high's depth-4 wavefront program the same lookups cost the
-    # frame ~114 ms (tools/bench_r5.py parts s/e/f).
-    side, yp, xp = jax.lax.optimization_barrier((side, yp, xp))
-    rgb = skybox[side, yp, xp]
-    rgb = jax.lax.optimization_barrier(rgb)
-    return skybox_texel_to_float(rgb)
+    return skybox_texel_to_float(skybox[side, yp, xp])
 
 
 def pack_skybox_u32(skybox) -> jnp.ndarray:
@@ -255,61 +249,20 @@ def pack_skybox_u32(skybox) -> jnp.ndarray:
     return (s[..., 0] << 16) | (s[..., 1] << 8) | s[..., 2]
 
 
-def skybox_color_packed(packed: jnp.ndarray, d: jnp.ndarray,
-                        valid=None) -> jnp.ndarray:
+def skybox_color_packed(packed: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
     """Packed-u32 twin of skybox_color: bit-identical colors (the unpacked
     bytes are the same bytes; the /255.99 conversion is the same op).
-    Same standalone-gather barrier + dead-lane index clamp as
-    skybox_color."""
+
+    This exact shape — one u32 gather, shift-unpack, [R,3] stack — is the
+    measured in-frame optimum for the deferred-sky epilogues. r5 A/B'd the
+    'obvious improvements' on device and ALL lost in the frame despite
+    winning in isolation: raw u8 3-channel rows (isolated 2.05 ms vs
+    packed 3.86 ms per 262k rows, but 84.7 vs 77.9 ms in balls_low's
+    distribution frame), optimization barriers around the gather
+    (83.3 ms), plane-wise unpack with per-entry gathers and no [R,3]
+    stacks (125.8 ms). In-frame fusion context dominates op-level
+    reasoning here."""
     side, yp, xp = cubemap_index(d, packed.shape[1], packed.shape[2])
-    if valid is not None:
-        side = jnp.where(valid, side, 0)
-        yp = jnp.where(valid, yp, 0)
-        xp = jnp.where(valid, xp, 0)
-    side, yp, xp = jax.lax.optimization_barrier((side, yp, xp))
     v = packed[side, yp, xp]
-    v = jax.lax.optimization_barrier(v)
     rgb = jnp.stack([(v >> 16) & 0xFF, (v >> 8) & 0xFF, v & 0xFF], -1)
     return rgb.astype(jnp.float32) / 255.99
-
-
-def skybox_planes_packed(packed: jnp.ndarray, dx, dy, dz, valid=None):
-    """Plane-wise packed lookup: direction planes in, (r, g, b) [R] f32
-    planes out — same bytes/colors as skybox_color(_packed), but NOTHING
-    3-wide-minor-dim is ever built (no [R,3] stack, no transposes). The
-    deferred-sky epilogues use this: the megakernel already produces
-    weight/direction/color as separate planes, so the whole sky add stays
-    in [R] vectors until the final stack."""
-    side, yp, xp = cubemap_index_xyz(dx, dy, dz, packed.shape[1],
-                                     packed.shape[2])
-    if valid is not None:
-        side = jnp.where(valid, side, 0)
-        yp = jnp.where(valid, yp, 0)
-        xp = jnp.where(valid, xp, 0)
-    side, yp, xp = jax.lax.optimization_barrier((side, yp, xp))
-    v = packed[side, yp, xp]
-    v = jax.lax.optimization_barrier(v)
-    # same /255.99 division as skybox_texel_to_float (bit-identical colors)
-    return (((v >> 16) & 0xFF).astype(jnp.float32) / 255.99,
-            ((v >> 8) & 0xFF).astype(jnp.float32) / 255.99,
-            (v & 0xFF).astype(jnp.float32) / 255.99)
-
-
-def skybox_planes(skybox: jnp.ndarray, dx, dy, dz, valid=None):
-    """Plane-wise lookup over EITHER operand form: [6,H,W] packed u32
-    (megakernel host-packed operand) or [6,H,W,3] u8/f32 (raw cubemap —
-    one 3-channel row gather, then channel slices). Returns (r, g, b)
-    [R] f32 planes, colors identical to skybox_color."""
-    if skybox.ndim == 3:
-        return skybox_planes_packed(skybox, dx, dy, dz, valid=valid)
-    side, yp, xp = cubemap_index_xyz(dx, dy, dz, skybox.shape[1],
-                                     skybox.shape[2])
-    if valid is not None:
-        side = jnp.where(valid, side, 0)
-        yp = jnp.where(valid, yp, 0)
-        xp = jnp.where(valid, xp, 0)
-    side, yp, xp = jax.lax.optimization_barrier((side, yp, xp))
-    rgb = skybox[side, yp, xp]
-    rgb = jax.lax.optimization_barrier(rgb)
-    rgb = skybox_texel_to_float(rgb)
-    return rgb[:, 0], rgb[:, 1], rgb[:, 2]
