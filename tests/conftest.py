@@ -50,14 +50,11 @@ def assert_images_close(img, want, atol=2e-3, max_bad_frac=0.01):
     )
 
 
-# Persistent XLA compilation cache: repeat runs of the suite skip most
-# backend compiles entirely (and the first run is no slower). One cache
-# dir PER xdist worker: two workers compiling the same shape raced on the
-# shared dir and segfaulted inside backend_compile_and_load (observed
-# twice in r5, both at ~80% of the suite under gw1).
-from u_4a_2s_p3d_raytracer_template2_tpu.utils.profiling import (  # noqa: E402
-    enable_compilation_cache,
-)
-
-_worker = os.environ.get("PYTEST_XDIST_WORKER", "main")
-enable_compilation_cache(f"/tmp/jax_rt_test_cache_{_worker}")
+# NO persistent compilation cache for the CPU suite. It was enabled for
+# repeat-run speed, but jaxlib's executable serialization SEGFAULTS the
+# worker on one of the suite's large CPU executables
+# (compilation_cache.put_executable_and_time, observed three times in r5
+# at ~80% of the suite, reproduced with per-worker cache dirs — so not a
+# writer race). The TPU/bench paths keep their cache
+# (utils/profiling.enable_compilation_cache); CPU compiles are cheap
+# enough without one.
